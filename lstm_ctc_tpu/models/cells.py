@@ -1,0 +1,135 @@
+"""LSTM cell primitives: parameter init + masked time-scan.
+
+Semantics mirror TF1's ``tf.contrib.rnn.LSTMCell`` as used by the reference
+(nnet/bilstm.py:125-188): optional diagonal peephole connections, optional
+output projection (``num_proj``), a forget-gate bias added at runtime, TF
+gate order (i, j, f, o), and ``dynamic_rnn`` masking — outputs are zero past
+``sequence_length`` and the carried state freezes there.
+
+TPU-first structure: the input-to-gates projection for the *whole* sequence
+is one large ``[B·T, D] × [D, 4H]`` matmul (MXU-friendly, done outside the
+scan); only the recurrent ``[B, P] × [P, 4H]`` matmul and the elementwise
+gate math live inside ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def glorot_uniform(rng, shape, dtype=jnp.float32):
+    if len(shape) == 1:
+        fan_in = fan_out = shape[0]
+    else:
+        fan_in, fan_out = shape[0], shape[1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -limit, limit)
+
+
+def truncated_normal(rng, shape, stddev, dtype=jnp.float32):
+    return stddev * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
+
+
+def init_lstm_cell(rng,
+                   input_dim: int,
+                   num_units: int,
+                   num_proj: Optional[int] = None,
+                   use_peepholes: bool = False) -> Dict:
+    """Parameters for one LSTM cell.  The TF cell's single ``[D+P, 4H]``
+    kernel is split into input (``wx``) and recurrent (``wh``) halves so the
+    input half can be applied to the whole sequence at once."""
+    out_dim = num_proj if num_proj else num_units
+    k_kernel, k_proj, k_wi, k_wf, k_wo = jax.random.split(rng, 5)
+    kernel = glorot_uniform(k_kernel, (input_dim + out_dim, 4 * num_units))
+    params = {
+        "wx": kernel[:input_dim],
+        "wh": kernel[input_dim:],
+        "bias": jnp.zeros((4 * num_units,), jnp.float32),
+    }
+    if use_peepholes:
+        params["w_i_diag"] = glorot_uniform(k_wi, (num_units,))
+        params["w_f_diag"] = glorot_uniform(k_wf, (num_units,))
+        params["w_o_diag"] = glorot_uniform(k_wo, (num_units,))
+    if num_proj:
+        params["proj"] = glorot_uniform(k_proj, (num_units, num_proj))
+    return params
+
+
+def lstm_scan(params: Dict,
+              x: jnp.ndarray,
+              sequence_length: jnp.ndarray,
+              forget_bias: float = 1.0,
+              reverse: bool = False) -> Tuple[jnp.ndarray, Tuple]:
+    """Run the cell over time.  x: [B, T, D] → outputs [B, T, P], final
+    state (c [B, H], h [B, P]).
+
+    With ``reverse=True`` the recurrence runs from the *end of the padded
+    buffer* backwards — callers implement the reference's
+    ``tf.reverse_sequence`` trick instead (bilstm.py:112,190), which this
+    flag does not replicate; it exists for streaming/No-padding use.
+    """
+    batch, time_steps, _ = x.shape
+    num_units = params["bias"].shape[0] // 4
+    out_dim = params["proj"].shape[1] if "proj" in params else num_units
+    use_peepholes = "w_i_diag" in params
+
+    # One big input projection outside the scan.
+    gates_x = jnp.einsum("btd,dh->bth", x, params["wx"]) + params["bias"]
+    gates_x = jnp.moveaxis(gates_x, 1, 0)                     # [T, B, 4H]
+    mask = (jnp.arange(time_steps)[:, None]
+            < sequence_length[None, :]).astype(x.dtype)       # [T, B]
+    if reverse:
+        gates_x = gates_x[::-1]
+        mask = mask[::-1]
+
+    def step(carry, inputs):
+        c, h = carry
+        g_x, m = inputs
+        gates = g_x + h @ params["wh"]
+        i, j, f, o = jnp.split(gates, 4, axis=-1)
+        if use_peepholes:
+            i = i + params["w_i_diag"] * c
+            f = f + params["w_f_diag"] * c
+        c_new = (jax.nn.sigmoid(f + forget_bias) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(j))
+        if use_peepholes:
+            o = o + params["w_o_diag"] * c_new
+        out = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        if "proj" in params:
+            out = out @ params["proj"]
+        m = m[:, None]
+        c_next = m * c_new + (1.0 - m) * c
+        h_next = m * out + (1.0 - m) * h
+        return (c_next, h_next), m * out
+
+    init = (jnp.zeros((batch, num_units), x.dtype),
+            jnp.zeros((batch, out_dim), x.dtype))
+    (c_final, h_final), outputs = jax.lax.scan(step, init, (gates_x, mask))
+    if reverse:
+        outputs = outputs[::-1]
+    return jnp.moveaxis(outputs, 0, 1), (c_final, h_final)
+
+
+def reverse_sequence(x: jnp.ndarray, sequence_length: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the first ``sequence_length`` steps of each row, leaving
+    padding in place — ``tf.reverse_sequence`` (reference bilstm.py:112)."""
+    time_steps = x.shape[1]
+    t = jnp.arange(time_steps)[None, :]
+    lengths = sequence_length[:, None]
+    idx = jnp.where(t < lengths, lengths - 1 - t, t)
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def dropout(rng, x: jnp.ndarray, keep_prob: float) -> jnp.ndarray:
+    """Inverted dropout with *keep* probability (the reference passes
+    dropout_rate=0.9 meaning keep 0.9, bilstm.py:78-99)."""
+    if keep_prob >= 1.0:
+        return x
+    keep = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(keep, x / keep_prob, 0.0)
