@@ -1,0 +1,132 @@
+"""Jitted train/eval steps — the compute-graph layer.
+
+Numerics mirrored from reference nnet/graph.py:51-209:
+  * ``eval_loss`` = summed per-sequence CTC loss over the batch
+    (graph.py:109-116);
+  * ``size`` = total count of real (non-pad) target labels — the
+    normalizer used by the outer loop's running mean (graph.py:105-106);
+  * ``loss`` = eval_loss + active label-smoothing regularizers
+    (graph.py:120-133);
+  * training loss additionally takes L2 (0.5·Σv²) × 1e-5 over parameters
+    whose name does not contain "bias" (graph.py:183-189).  Note the
+    reference quirk: only the LSTM cell biases are *named* "bias" in TF —
+    the dense/MoE head biases are anonymous Variables and therefore DO get
+    L2-regularized; we reproduce that by excluding only keys equal to
+    "bias";
+  * gradients are clipped by global norm 5.0 (graph.py:190-192) and
+    applied by adam / sgd / momentum(0.9) (graph.py:37-48).
+
+Each step is one ``jax.jit`` program: model forward, CTC loss, backward,
+update — all fused by XLA; donated params/opt-state avoid HBM copies.  Under
+a multi-device mesh the batch arrives sharded on the batch axis and XLA
+inserts the gradient all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import apply_model
+from ..ops import ctc_loss
+
+
+def get_optimizer(name: str, learn_rate: float,
+                  momentum: float = 0.9) -> optax.GradientTransformation:
+    if name == "adam":
+        # TF1 AdamOptimizer defaults (epsilon 1e-8)
+        return optax.adam(learn_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if name == "sgd":
+        return optax.sgd(learn_rate)
+    if name == "momentum":
+        return optax.sgd(learn_rate, momentum=momentum)
+    raise ValueError("unsupported optimizer: %s" % name)
+
+
+def _l2_loss(params) -> jnp.ndarray:
+    """0.5·Σv² over non-"bias" leaves (see module docstring for the
+    bias-naming quirk being mirrored)."""
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    total = 0.0
+    for path, leaf in leaves:
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if any(k == "bias" for k in keys):
+            continue
+        total = total + 0.5 * jnp.sum(jnp.square(leaf))
+    return total
+
+
+def compute_losses(params, net_state, batch: Dict, config: Dict,
+                   train: bool, dropout_rng=None):
+    """Shared forward pass → (metrics dict, logits, new_net_state)."""
+    logits, _, reg_losses, new_state = apply_model(
+        params, net_state, batch["nnet_input"], batch["sequence_length"],
+        config, train=train, dropout_rng=dropout_rng)
+    per_seq = ctc_loss(logits, batch["sequence_length"],
+                       batch["nnet_target"], batch["target_length"])
+    eval_loss = jnp.sum(per_seq)
+    size = jnp.sum((batch["nnet_target"] >= 0).astype(jnp.int32))
+    loss = eval_loss
+    for value, weight in reg_losses:
+        if value is not None and weight is not None and weight > 0:
+            loss = loss + value
+    metrics = {"size": size, "eval_loss": eval_loss, "loss": loss}
+    return metrics, logits, new_state
+
+
+def make_eval_step(config: Dict, with_logits: bool = False):
+    """Returns eval_step(params, net_state, batch) → metrics[, logits]."""
+
+    @jax.jit
+    def eval_step(params, net_state, batch):
+        metrics, logits, _ = compute_losses(
+            params, net_state, batch, config, train=False)
+        if with_logits:
+            return metrics, logits
+        return metrics
+
+    return eval_step
+
+
+def make_train_step(config: Dict,
+                    learn_rate: float,
+                    optimizer: str = "sgd",
+                    clip_norm: float = 5.0,
+                    l2_decay_weight: float = 1e-5):
+    """Returns (init_opt_state, train_step).
+
+    train_step(params, opt_state, net_state, rng, batch)
+        → (params, opt_state, net_state, metrics)
+    """
+    tx = get_optimizer(optimizer, learn_rate)
+
+    def loss_fn(params, net_state, batch, dropout_rng):
+        metrics, _, new_state = compute_losses(
+            params, net_state, batch, config, train=True,
+            dropout_rng=dropout_rng)
+        total = metrics["loss"] + l2_decay_weight * _l2_loss(params)
+        return total, (metrics, new_state)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, net_state, rng, batch):
+        (_, (metrics, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, net_state, batch, rng)
+        grads, _ = _clip_by_global_norm(grads, clip_norm)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, metrics
+
+    return tx.init, train_step
+
+
+def _clip_by_global_norm(grads, clip_norm: float):
+    """tf.clip_by_global_norm semantics (reference graph.py:190-192)."""
+    global_norm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, clip_norm / jnp.maximum(global_norm, 1e-20))
+    # TF scales by clip_norm/max(global_norm, clip_norm) — identical result
+    clipped = jax.tree.map(lambda g: g * scale, grads)
+    return clipped, global_norm
