@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Forward pass: write (log-)posteriors as a Kaldi matrix archive.
+
+CLI mirror of reference bin/nnet-forward.py:29-159:
+  * posterior = softmax(smooth_factor · logits);
+  * ``--apply-log`` implies softmax and takes the log;
+  * ``--class-prior`` subtracts the (blank-rotated) log prior, producing
+    the pseudo-likelihoods the EESEN WFST decoder consumes
+    (nnet-forward.py:87-91);
+  * output keyed by utterance key, written through any Kaldi wspecifier so
+    unmodified Kaldi/EESEN binaries can read it.
+
+Unlike the reference's strictly batch-1 inference graph
+(nnet/graph.py:212-241), utterances are batched through the bucketed
+pipeline for throughput; per-utterance outputs are sliced back out.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from lstm_ctc_tpu import kaldi, logging_util as log, parse_config
+from lstm_ctc_tpu.cli import (
+    build_batcher,
+    init_from_config,
+    log_invocation,
+    make_shard_fn,
+    str2bool,
+)
+from lstm_ctc_tpu.data import iterate_batches, scan_scp
+from lstm_ctc_tpu.train.checkpoint import load_checkpoint
+from lstm_ctc_tpu.train.class_prior import get_class_prior
+from lstm_ctc_tpu.models import apply_model
+
+
+def main(args):
+    config = parse_config(args.nnet_config)
+    config["is_training"] = False
+    if args.apply_log:
+        args.apply_softmax = True
+
+    class_prior = None if args.class_prior is None else \
+        get_class_prior(args.class_prior)
+
+    template_params, template_state = init_from_config(config)
+    params, net_state, _ = load_checkpoint(
+        args.nnet_in, template_params, template_state)
+
+    batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
+                            need_labels=False)
+    shard_fn, _ = make_shard_fn(args.batch_size)
+
+    smooth = args.smooth_factor
+
+    @jax.jit
+    def forward(nnet_input, sequence_length):
+        logits, _, _, _ = apply_model(
+            params, net_state, nnet_input, sequence_length, config,
+            train=False)
+        if args.apply_softmax:
+            return jax.nn.softmax(smooth * logits)
+        return logits
+
+    writer = kaldi.BaseFloatMatrixWriter(args.nnet_output)
+    processed = 0
+    for batch in iterate_batches(batcher, shuffle=False):
+        device_batch = shard_fn(batch)
+        out = np.asarray(forward(device_batch["nnet_input"],
+                                 device_batch["sequence_length"]))
+        if args.apply_log:
+            with np.errstate(divide="ignore"):
+                out = np.log(out)
+        if class_prior is not None:
+            out = out - class_prior
+        for row, key in enumerate(batch.keys):
+            t_len = int(batch.sequence_length[row])
+            writer.Write(key, out[row, :t_len].astype(np.float32))
+            processed += 1
+            if args.report_interval and processed % args.report_interval == 0:
+                log.info("processed = %d" % processed)
+    log.info("done")
+    writer.Close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("tfrecords_scp", metavar="<tfrecords-scp>", type=str,
+                        help="records scp.")
+    parser.add_argument("nnet_config", metavar="<nnet-config>", type=str,
+                        help="nnet-config.")
+    parser.add_argument("nnet_in", metavar="<nnet-in>", type=str,
+                        help="nnet-in.")
+    parser.add_argument("nnet_output", metavar="<nnet-output-wspecifier>",
+                        type=str, help="wspecifier for nnet-output.")
+    parser.add_argument("--apply-softmax", metavar="apply-softmax",
+                        type=str2bool, default="true",
+                        help="whether to apply softmax.")
+    parser.add_argument("--apply-log", metavar="apply-log",
+                        type=str2bool, default="true",
+                        help="whether to apply log on top of softmax")
+    parser.add_argument("--report-interval", metavar="report-interval",
+                        type=int, default=100,
+                        help="progress report interval.")
+    parser.add_argument("--class-prior", metavar="class-prior", type=str,
+                        default=None,
+                        help="class prior to scale the softmax output")
+    parser.add_argument("--smooth-factor", metavar="smooth factor",
+                        type=float, default=1.0,
+                        help="smooth factor for softmax")
+    parser.add_argument("--batch-size", metavar="batch-size", type=int,
+                        default=16, help="inference batch size.")
+    args = parser.parse_args()
+    log_invocation()
+    main(args)

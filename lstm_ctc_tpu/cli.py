@@ -1,0 +1,75 @@
+"""Shared plumbing for the bin/ command-line tools."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from . import logging_util as log
+from .data import BucketedBatcher, scan_label_lengths, scan_scp
+from .models import init_model
+from .parallel import get_mesh, shard_batch
+
+
+def str2bool(v: str) -> bool:
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def log_invocation() -> None:
+    log.info(" ".join(sys.argv))
+
+
+def build_batcher(records_scp: str, config: Dict, batch_size: int,
+                  need_labels: bool = True) -> BucketedBatcher:
+    metas = scan_scp(records_scp)
+    label_lengths = None
+    if need_labels and metas and metas[0].has_label:
+        label_lengths = scan_label_lengths(metas)
+    return BucketedBatcher(
+        metas,
+        batch_size=batch_size,
+        left_context=config.get("left_context", 0) or 0,
+        right_context=config.get("right_context", 0) or 0,
+        subsample=config.get("subsample", 0) or 0,
+        label_lengths=label_lengths,
+    )
+
+
+def make_shard_fn(batch_size: int):
+    """Returns (shard_fn, mesh).  Batches shard across the data mesh when
+    the batch size divides evenly; otherwise they are replicated."""
+    mesh = get_mesh()
+
+    def shard_fn(batch):
+        return shard_batch(mesh, {
+            "nnet_input": batch.nnet_input,
+            "sequence_length": batch.sequence_length,
+            "nnet_target": batch.nnet_target,
+            "target_length": batch.target_length,
+        })
+
+    return shard_fn, mesh
+
+
+def init_from_config(config: Dict):
+    """Deterministic model init seeded from the config's ``seed`` key."""
+    seed = int(config.get("seed", 777) or 777)
+    return init_model(jax.random.PRNGKey(seed), config)
+
+
+def check_objective_and_type(args, config: Dict) -> None:
+    if args.objective != "ctc":
+        log.fatal("unsupported objective: %s" % args.objective)
+        sys.exit(1)
+    nnet_type = config.get("nnet_type")
+    if nnet_type not in ("blstm", "cudnnlstm", "lstm"):
+        log.fatal("unsupported nnet_type: %s" % nnet_type)
+        sys.exit(1)
