@@ -288,8 +288,8 @@ def read_matrix(stream, binary: bool) -> np.ndarray:
         data = stream.read(itemsize * rows * cols)
         if len(data) != itemsize * rows * cols:
             raise KaldiIOError("short read in matrix payload")
-        return np.frombuffer(data, dtype=dtype).reshape(rows, cols).astype(
-            np.float32, copy=False)
+        # float64 (DM) payloads keep their precision (CMVN stats)
+        return np.frombuffer(data, dtype=dtype).reshape(rows, cols)
     # Text: optional leading spaces then '[' rows... ']'
     tok = read_token(stream, binary=False)
     if tok != "[":
@@ -301,16 +301,17 @@ def read_matrix(stream, binary: bool) -> np.ndarray:
 
 
 def write_matrix(stream, binary: bool, mat: np.ndarray,
-                 compress: bool = False) -> None:
+                 compress: bool = False, double: bool = False) -> None:
     mat = np.atleast_2d(np.asarray(mat))
     if binary:
         if compress:
             write_compressed_matrix(stream, mat)
             return
-        write_token(stream, binary, "FM")
+        write_token(stream, binary, "DM" if double else "FM")
         write_basic(stream, binary, "int32", mat.shape[0])
         write_basic(stream, binary, "int32", mat.shape[1])
-        stream.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+        dtype = "<f8" if double else "<f4"
+        stream.write(np.ascontiguousarray(mat, dtype=dtype).tobytes())
     else:
         if not mat.shape[0] or not mat.shape[1]:
             stream.write(b" []\n")

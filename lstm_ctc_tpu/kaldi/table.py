@@ -41,6 +41,14 @@ class Holder:
 
 HOLDERS: Dict[str, Holder] = {
     "matrix": Holder(binio.read_matrix, binio.write_matrix),
+    "matrix_compressed": Holder(
+        binio.read_matrix,
+        lambda stream, binary, value: binio.write_matrix(
+            stream, binary, value, compress=binary)),
+    "matrix_double": Holder(
+        binio.read_matrix,
+        lambda stream, binary, value: binio.write_matrix(
+            stream, binary, value, double=True)),
     "vector": Holder(binio.read_vector, binio.write_vector),
     "int32vec": Holder(binio.read_int32_vector, binio.write_int32_vector),
     "posterior": Holder(binio.read_posterior, binio.write_posterior),
