@@ -3,11 +3,26 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
+
+# Respect JAX_PLATFORMS even when a site plugin force-registered another
+# platform and overwrote the config (the env var is the user's word).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+# Persistent XLA compilation cache: the outer training loop launches one
+# process per epoch (reference scripts/train.sh contract), so without this
+# every epoch re-pays the full jit compile of the train/eval steps.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/lstm_ctc_tpu/jax-cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from . import logging_util as log
 from .data import BucketedBatcher, scan_label_lengths, scan_scp

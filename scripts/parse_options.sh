@@ -6,7 +6,7 @@
 # was never declared is an error.  Remaining positional args stay in "$@".
 
 while true; do
-  case "$1" in
+  case "${1:-}" in
     --*)
       name="${1#--}"
       if [[ "$name" == *=* ]]; then

@@ -28,7 +28,20 @@ if (@args and $args[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+):(\d+)$/) {
 
 die "run.pl: usage: run.pl [JOB=1:N] <logfile> <command...>\n" unless @args >= 2;
 my $logfile = shift @args;
-my $command = join(" ", @args);
+# Re-quote argv elements that contain whitespace so they survive the
+# round-trip through "bash -c" (escaped \| pipes arrive as bare "|"
+# single-token args and stay unquoted shell operators).
+my @quoted;
+for my $arg (@args) {
+    if ($arg =~ m/^\S+$/) {
+        push @quoted, $arg;
+    } elsif ($arg =~ m/"/) {
+        push @quoted, "'" . $arg . "'";
+    } else {
+        push @quoted, '"' . $arg . '"';
+    }
+}
+my $command = join(" ", @quoted);
 
 my @pids;
 for my $job ($jstart .. $jend) {
