@@ -26,6 +26,7 @@ import numpy as np
 from .. import logging_util as log
 from ..train.class_prior import get_class_prior
 from .cells import (
+    bilstm_dual_scan,
     dropout,
     init_lstm_cell,
     lstm_scan,
@@ -119,10 +120,9 @@ def apply_blstm(params: Dict,
     binput = reverse_sequence(nnet_input, sequence_length)
     fw_state = bw_state = None
     for i in range(num_layers):
-        fw_out, fw_state = lstm_scan(params["fwd"][i], finput,
-                                     sequence_length, FORGET_BIAS)
-        bw_out, bw_state = lstm_scan(params["bwd"][i], binput,
-                                     sequence_length, FORGET_BIAS)
+        fw_out, bw_out, (fw_state, bw_state) = bilstm_dual_scan(
+            params["fwd"][i], params["bwd"][i], finput, binput,
+            sequence_length, FORGET_BIAS)
         if keep_prob < 1.0 and dropout_rng is not None:
             dropout_rng, k_f, k_b = jax.random.split(dropout_rng, 3)
             fw_out = dropout(k_f, fw_out, keep_prob)

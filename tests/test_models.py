@@ -86,6 +86,29 @@ def test_lstm_scan_masks_padding():
                                np.asarray(state2[1])[0], atol=1e-6)
 
 
+def test_dual_scan_matches_two_single_scans():
+    from lstm_ctc_tpu.models.cells import bilstm_dual_scan
+    rng = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(rng)
+    fw = init_lstm_cell(k1, 6, 8, num_proj=4, use_peepholes=True)
+    bw = init_lstm_cell(k2, 6, 8, num_proj=4, use_peepholes=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 9, 6), jnp.float32)
+    seq_len = jnp.array([9, 5, 0])
+    x_rev = reverse_sequence(x, seq_len)
+    f_out, b_out, (f_st, b_st) = bilstm_dual_scan(fw, bw, x, x_rev,
+                                                  seq_len, 5.0)
+    f_ref, f_st_ref = lstm_scan(fw, x, seq_len, 5.0)
+    b_ref, b_st_ref = lstm_scan(bw, x_rev, seq_len, 5.0)
+    np.testing.assert_allclose(np.asarray(f_out), np.asarray(f_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_out), np.asarray(b_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_st[0]), np.asarray(f_st_ref[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_st[1]), np.asarray(b_st_ref[1]),
+                               atol=1e-5)
+
+
 def test_reverse_sequence():
     x = jnp.asarray(np.arange(2 * 5 * 1, dtype=np.float32).reshape(2, 5, 1))
     seq_len = jnp.array([3, 5])
