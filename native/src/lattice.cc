@@ -1,0 +1,139 @@
+#include "lattice.h"
+
+#include <algorithm>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <stdexcept>
+
+namespace lctc {
+
+static const char kLatMagic[] = "LAT1";
+
+void Lattice::Write(ByteSink* sink) const {
+  sink->Write(kLatMagic, 4);
+  int32_t n = NumStates();
+  sink->Write(&n, 4);
+  sink->Write(&start_, 4);
+  for (int32_t s = 0; s < n; ++s) {
+    const auto& fin = final_[s];
+    unsigned char flag = fin.is_final ? 1 : 0;
+    sink->Write(&flag, 1);
+    if (fin.is_final) {
+      sink->Write(&fin.graph_cost, 4);
+      sink->Write(&fin.acoustic_cost, 4);
+    }
+    int32_t num_arcs = static_cast<int32_t>(arcs_[s].size());
+    sink->Write(&num_arcs, 4);
+    sink->Write(arcs_[s].data(), sizeof(LatticeArc) * arcs_[s].size());
+  }
+}
+
+bool Lattice::Read(ByteSource* src, std::string* key, Lattice* lat) {
+  int c;
+  key->clear();
+  while ((c = src->Peek()) != EOF &&
+         (c == ' ' || c == '\n' || c == '\t' || c == '\r')) {
+    char tmp;
+    src->Read(&tmp, 1);
+  }
+  if (src->Eof()) return false;
+  char ch;
+  while (src->Read(&ch, 1)) {
+    if (ch == ' ') break;
+    key->push_back(ch);
+  }
+  char header[6];
+  if (!src->Read(header, 6) || header[0] != '\0' || header[1] != 'B' ||
+      std::memcmp(header + 2, kLatMagic, 4) != 0) {
+    throw std::runtime_error("bad lattice entry for key " + *key);
+  }
+  int32_t n;
+  src->Read(&n, 4);
+  *lat = Lattice();
+  src->Read(&lat->start_, 4);
+  lat->arcs_.resize(n);
+  lat->final_.resize(n);
+  for (int32_t s = 0; s < n; ++s) {
+    unsigned char flag;
+    src->Read(&flag, 1);
+    if (flag) {
+      lat->final_[s].is_final = true;
+      src->Read(&lat->final_[s].graph_cost, 4);
+      src->Read(&lat->final_[s].acoustic_cost, 4);
+    }
+    int32_t num_arcs;
+    src->Read(&num_arcs, 4);
+    lat->arcs_[s].resize(num_arcs);
+    if (num_arcs) {
+      src->Read(lat->arcs_[s].data(), sizeof(LatticeArc) * num_arcs);
+    }
+  }
+  return true;
+}
+
+void Lattice::ScaleAcoustic(float scale) {
+  for (auto& arcs : arcs_) {
+    for (auto& arc : arcs) arc.acoustic_cost *= scale;
+  }
+  for (auto& fin : final_) {
+    if (fin.is_final) fin.acoustic_cost *= scale;
+  }
+}
+
+std::vector<int32_t> Lattice::BestPath(std::vector<int32_t>* tokens,
+                                       float* total_cost) const {
+  constexpr float kInf = std::numeric_limits<float>::infinity();
+  int32_t n = NumStates();
+  std::vector<float> dist(n, kInf);
+  std::vector<int32_t> from(n, -1);
+  std::vector<int32_t> via(n, -1);  // arc index on predecessor
+  using Item = std::pair<float, int32_t>;
+  std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+  if (start_ < 0) return {};
+  dist[start_] = 0.0f;
+  pq.push({0.0f, start_});
+  while (!pq.empty()) {
+    auto [d, s] = pq.top();
+    pq.pop();
+    if (d > dist[s]) continue;
+    const auto& arcs = arcs_[s];
+    for (size_t i = 0; i < arcs.size(); ++i) {
+      float nd = d + arcs[i].graph_cost + arcs[i].acoustic_cost;
+      if (nd < dist[arcs[i].nextstate]) {
+        dist[arcs[i].nextstate] = nd;
+        from[arcs[i].nextstate] = s;
+        via[arcs[i].nextstate] = static_cast<int32_t>(i);
+        pq.push({nd, arcs[i].nextstate});
+      }
+    }
+  }
+  // best final
+  float best = kInf;
+  int32_t best_state = -1;
+  for (int32_t s = 0; s < n; ++s) {
+    if (!final_[s].is_final || dist[s] == kInf) continue;
+    float total = dist[s] + final_[s].graph_cost + final_[s].acoustic_cost;
+    if (total < best) {
+      best = total;
+      best_state = s;
+    }
+  }
+  std::vector<int32_t> words;
+  if (best_state < 0) return words;
+  if (total_cost) *total_cost = best;
+  std::vector<int32_t> toks;
+  for (int32_t s = best_state; from[s] >= 0; s = from[s]) {
+    const LatticeArc& arc = arcs_[from[s]][via[s]];
+    if (arc.olabel != 0) words.push_back(arc.olabel);
+    if (arc.ilabel != 0) toks.push_back(arc.ilabel);
+  }
+  std::reverse(words.begin(), words.end());
+  if (tokens) {
+    std::reverse(toks.begin(), toks.end());
+    *tokens = toks;
+  }
+  return words;
+}
+
+}  // namespace lctc

@@ -1,0 +1,218 @@
+"""Native C++ WFST toolkit tests: fst-tools algorithms on small examples
+and the full TLG build + lattice decode chain."""
+
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from lstm_ctc_tpu import kaldi
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FSTBIN = os.path.join(REPO, "native", "build")
+SCRIPTS = os.path.join(REPO, "scripts")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FSTBIN, "fst-tools")),
+    reason="native toolkit not built (cmake -B native/build native && "
+           "ninja -C native/build)")
+
+
+def run(cmd, stdin=None, **kw):
+    proc = subprocess.run(cmd, input=stdin, capture_output=True, text=True,
+                          cwd=REPO, **kw)
+    assert proc.returncode == 0, "%s failed:\n%s" % (cmd, proc.stderr[-2000:])
+    return proc.stdout
+
+
+def fst_tools(*args, stdin=None):
+    return run([os.path.join(FSTBIN, "fst-tools"), *args], stdin=stdin)
+
+
+def compile_text(text, tmp_path, name):
+    out = str(tmp_path / name)
+    run([os.path.join(FSTBIN, "fst-tools"), "compile", "-", out],
+        stdin=text)
+    return out
+
+
+def test_compile_print_roundtrip(tmp_path):
+    text = "0\t1\t1\t2\t0.5\n1\t2\t3\t0\n2\n"
+    path = compile_text(text, tmp_path, "a.fst")
+    printed = fst_tools("print", path)
+    assert "0\t1\t1\t2\t0.5" in printed
+    assert printed.strip().splitlines()[-1] == "2"
+
+
+def test_compose_simple(tmp_path):
+    # A: maps 1->10, 2->20 in sequence; B: maps 10->100
+    a = compile_text("0\t1\t1\t10\n1\t2\t2\t20\n2\n", tmp_path, "a.fst")
+    b = compile_text("0\t1\t10\t100\n1\t2\t20\t200\n2\n", tmp_path, "b.fst")
+    c = str(tmp_path / "c.fst")
+    fst_tools("compose", a, b, c)
+    printed = fst_tools("print", c)
+    # composed: 1->100 then 2->200
+    lines = [l.split("\t") for l in printed.strip().splitlines()]
+    arcs = [l for l in lines if len(l) >= 4]
+    assert (arcs[0][2], arcs[0][3]) == ("1", "100")
+    assert (arcs[1][2], arcs[1][3]) == ("2", "200")
+
+
+def test_determinize_merges_paths(tmp_path):
+    # two equal-input paths with probability 0.5 each (weight ln2);
+    # determinized should merge into one arc with the log-sum (weight 0)
+    w = "%f" % math.log(2.0)
+    text = ("0\t1\t1\t5\t%s\n0\t2\t1\t5\t%s\n1\t3\t2\t0\n2\t3\t2\t0\n3\n"
+            % (w, w))
+    path = compile_text(text, tmp_path, "nondet.fst")
+    det = str(tmp_path / "det.fst")
+    fst_tools("determinizestar", path, det)
+    printed = fst_tools("print", det)
+    arcs = [l.split("\t") for l in printed.strip().splitlines()
+            if len(l.split("\t")) >= 4]
+    # deterministic: exactly one arc with ilabel 1 from start
+    start_arcs = [a for a in arcs if a[0] == arcs[0][0] and a[2] == "1"]
+    assert len(start_arcs) == 1
+    weight = float(start_arcs[0][4]) if len(start_arcs[0]) > 4 else 0.0
+    assert abs(weight) < 1e-4  # -log(0.5 + 0.5)
+
+
+def test_determinize_epsilon_removal(tmp_path):
+    text = "0\t1\t0\t7\n1\t2\t3\t8\n2\n"  # eps-input arc carrying olabel 7
+    path = compile_text(text, tmp_path, "eps.fst")
+    det = str(tmp_path / "det.fst")
+    fst_tools("determinizestar", path, det)
+    printed = fst_tools("print", det)
+    arcs = [l.split("\t") for l in printed.strip().splitlines()
+            if len(l.split("\t")) >= 4]
+    # input epsilons removed; outputs 7 then 8 preserved on a path with
+    # input 3
+    assert all(a[2] != "0" or a[3] != "0" for a in arcs)
+    ins = [a[2] for a in arcs]
+    outs = [a[3] for a in arcs]
+    assert "3" in ins and "7" in outs and "8" in outs
+
+
+def test_minimize_merges_equivalent_states(tmp_path):
+    # two states with identical continuations must merge
+    text = ("0\t1\t1\t1\n0\t2\t2\t2\n1\t3\t5\t5\n2\t4\t5\t5\n3\n4\n")
+    path = compile_text(text, tmp_path, "m.fst")
+    mini = str(tmp_path / "min.fst")
+    fst_tools("minimizeencoded", path, mini)
+    info = fst_tools("info", mini)
+    states = int([l for l in info.splitlines()
+                  if l.startswith("states")][0].split()[1])
+    assert states == 3  # 0, merged {1,2}, merged {3,4}
+
+
+def make_tlg(tmp_path):
+    """Tiny 3-word lexicon + bigram LM → TLG via make_TLG.sh."""
+    dict_dir = tmp_path / "dict"
+    dict_dir.mkdir()
+    (dict_dir / "lexicon.txt").write_text(
+        "cat k ae t\ndog d ao g\ncab k ae b\n")
+    units = ["k", "ae", "t", "d", "ao", "g", "b"]
+    (dict_dir / "units.txt").write_text(
+        "".join("%s %d\n" % (u, i + 1) for i, u in enumerate(units)))
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=5
+ngram 2=4
+
+\\1-grams:
+-0.60206 </s>
+-99 <s> -0.30103
+-0.60206 cat -0.30103
+-0.60206 dog -0.30103
+-0.60206 cab -0.30103
+
+\\2-grams:
+-0.30103 <s> cat
+-0.47712 <s> dog
+-0.30103 cat dog
+-0.30103 dog </s>
+
+\\end\\
+""")
+    lang = tmp_path / "lang"
+    run(["bash", os.path.join(SCRIPTS, "make_TLG.sh"), str(dict_dir),
+         str(arpa), str(lang)])
+    return lang, units
+
+
+def test_make_tlg_and_latgen(tmp_path):
+    lang, units = make_tlg(tmp_path)
+    assert (lang / "TLG.fst").exists()
+
+    # posterior matrix for "cat dog": peaked one-hots with blanks between;
+    # EESEN column order: blank at 0, unit k at column k
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+    blank = 0
+
+    def frames_for(phones, reps=2, blanks=1):
+        cols = []
+        for ph in phones:
+            cols.extend([unit_id[ph]] * reps)
+            cols.extend([blank] * blanks)
+        return cols
+
+    seq = frames_for(["k", "ae", "t"]) + [blank] * 2 + \
+        frames_for(["d", "ao", "g"]) + [blank] * 2
+    num_cols = len(units) + 1
+    mat = np.full((len(seq), num_cols), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("utt1", mat)
+
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"),
+         "--acoustic-scale=1.0", "--beam=16.0", "--lattice-beam=8.0",
+         "--allow-partial=true",
+         "--word-symbol-table=%s" % (lang / "words.txt"),
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    # best path through the lattice → words
+    tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+               "ark:" + lat_ark, "ark,t:-"])
+    words_txt = (lang / "words.txt").read_text().split()
+    word_of = {words_txt[i + 1]: words_txt[i]
+               for i in range(0, len(words_txt), 2)}
+    tokens = tra.split()
+    assert tokens[0] == "utt1"
+    decoded = [word_of[t] for t in tokens[1:]]
+    assert decoded == ["cat", "dog"], decoded
+
+
+def test_lattice_scale_sweep_changes_nothing_here(tmp_path):
+    """lattice-scale roundtrip: scaling acoustic costs preserves the best
+    path when acoustics dominate."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+    seq = []
+    for ph in ["d", "ao", "g"]:
+        seq.extend([unit_id[ph]] * 2 + [0])
+    mat = np.full((len(seq), len(units) + 1), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--allow-partial=true", str(lang / "TLG.fst"),
+         "ark:" + post_ark, "ark:" + lat_ark])
+    scaled = str(tmp_path / "scaled.ark")
+    run([os.path.join(FSTBIN, "lattice-scale"), "--acoustic-scale=5",
+         "--ascale-factor=0.1", "ark:" + lat_ark, "ark:" + scaled])
+    tra1 = run([os.path.join(FSTBIN, "lattice-best-path"),
+                "ark:" + lat_ark, "ark,t:-"])
+    tra2 = run([os.path.join(FSTBIN, "lattice-best-path"),
+                "ark:" + scaled, "ark,t:-"])
+    assert tra1.split()[1:] == tra2.split()[1:]
