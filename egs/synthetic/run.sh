@@ -1,0 +1,136 @@
+#!/bin/bash
+# Synthetic tone-word recipe — the fully self-contained end-to-end proof:
+# audio → fbank → CMVN → records → BLSTM-CTC training (newbob outer loop)
+# → TLG graph → lattice decode → WER.  Shape mirrors the reference's
+# staged recipes (egs/wsj/run_wsj_phn.sh) with every external dependency
+# replaced by this framework's native tools.
+#
+# usage: run.sh [--stage N] [--work DIR] [--max-iter N] [--num-experts N]
+
+set -e
+RECIPE_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
+REPO="$(cd "$RECIPE_DIR/../.." && pwd)"
+SCRIPTS=$REPO/scripts
+BIN=$REPO/bin
+FSTBIN=${FSTBIN:-$REPO/native/build}
+PYTHON=${PYTHON:-python3}
+
+stage=0
+work=$RECIPE_DIR/work
+max_iter=25
+min_iters=25
+num_experts=0
+num_layers=2
+num_neurons=64
+num_projects=32
+learn_rate=0.006
+batch_size=8
+num_train=80
+
+. "$SCRIPTS/parse_options.sh" || exit 1
+
+mkdir -p "$work"
+num_units=$(test -f "$work/data/dict/units.txt" && wc -l < "$work/data/dict/units.txt" || echo 10)
+
+if [ "$stage" -le 0 ]; then
+  echo "===== stage 0: data generation ====="
+  $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 12
+  $PYTHON "$RECIPE_DIR/local/train_lm.py" "$work/data/train/text" \
+    > "$work/data/lm.arpa"
+fi
+
+if [ "$stage" -le 1 ]; then
+  echo "===== stage 1: TLG graph ====="
+  [ ! -x "$FSTBIN/fst-tools" ] && \
+    echo "build native tools first: cmake -B native/build -G Ninja native && ninja -C native/build" && exit 1
+  bash "$SCRIPTS/make_TLG.sh" "$work/data/dict" "$work/data/lm.arpa" \
+    "$work/lang"
+fi
+
+if [ "$stage" -le 2 ]; then
+  echo "===== stage 2: fbank + CMVN ====="
+  for set in train dev test; do
+    dset=$work/data/$set
+    $PYTHON "$BIN/compute-fbank-feats.py" --num-mel-bins=40 --dither=0.5 \
+      --seed=7 "scp:$dset/wav.scp" \
+      "ark,scp:$dset/fbank.ark,$dset/feats.scp"
+    $PYTHON "$BIN/compute-cmvn-stats.py" --spk2utt="ark:$dset/spk2utt" \
+      "scp:$dset/feats.scp" "ark,scp:$dset/cmvn.ark,$dset/cmvn.scp"
+    # single-matrix global stats for the conversion pipe
+    $PYTHON "$BIN/compute-cmvn-stats.py" "scp:$dset/feats.scp" \
+      "$dset/cmvn.mat"
+  done
+fi
+
+if [ "$stage" -le 3 ]; then
+  echo "===== stage 3: labels + records ====="
+  for set in train dev; do
+    dset=$work/data/$set
+    # CTC labels: unit ids shifted down by 1 (blank becomes the last
+    # network output), reference run_wsj_phn.sh:129-139
+    $PYTHON "$BIN/prep-ctc-trans.py" "$work/data/dict/lexicon_numbers.txt" \
+        "$dset/text" "<UNK>" |
+      awk -v s=1 '{printf $1 " "; for(i=2;i<=NF;i++) printf($i-s)" "; print ""}' |
+      $PYTHON "$BIN/copy-int-vector.py" ark:- \
+        "ark,scp:$dset/label.ark,$dset/label.scp"
+    bash "$SCRIPTS/tfrecord.sh" --feats-scp "$dset/feats.scp" \
+      --trans-scp "$dset/label.scp" --cmvn-ark "$dset/cmvn.mat" \
+      --nj 2 --dir "$work/records/$set"
+  done
+  # label counts for the class prior: unshifted ids with explicit blanks
+  # interleaved (reference run_wsj_phn.sh:198-207)
+  mkdir -p "$work/exp"
+  $PYTHON "$BIN/prep-ctc-trans.py" "$work/data/dict/lexicon_numbers.txt" \
+      "$work/data/train/text" "<UNK>" |
+    awk '{line=$0; gsub(" "," 0 ",line); print line " 0";}' |
+    $PYTHON "$BIN/analyze-counts.py" ark:- "$work/exp/label.counts"
+fi
+
+num_targets=$((num_units + 1))
+
+if [ "$stage" -le 4 ]; then
+  echo "===== stage 4: training ====="
+  cat > "$work/nnet.config" <<EOF
+nnet_type = blstm
+input_dim = 40
+left_context = 0
+right_context = 0
+subsample = 0
+num_layers = $num_layers
+num_neurons = $num_neurons
+num_projects = $num_projects
+num_targets = $num_targets
+use_peepholes = true
+dropout_rate = 1.0
+num_experts = $num_experts
+moe_temp = 10.0
+seed = 7
+EOF
+  bash "$SCRIPTS/train_oplr.sh" \
+    --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
+    --cv-tfrecords-scp "$work/records/dev/tfrecords.scp" \
+    --nnet-config "$work/nnet.config" --dir "$work/exp" \
+    --objective ctc --optimizer adam --learn-rate "$learn_rate" \
+    --max-iter "$max_iter" --min-iters "$min_iters" \
+    --batch-size "$batch_size" --cv-goal loss --shuffle true
+  # feature-prep markers read by decode_ctc_lat.sh
+  echo true > "$work/exp/norm_vars"
+  echo false > "$work/exp/add_deltas"
+  echo false > "$work/exp/subsample_feats"
+  echo false > "$work/exp/splice_feats"
+fi
+
+if [ "$stage" -le 5 ]; then
+  echo "===== stage 5: lattice decode + WER ====="
+  bash "$SCRIPTS/decode_ctc_lat.sh" --nj 2 --beam 16.0 \
+    --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
+    --ntargets "$num_targets" --skip-scoring true \
+    "$work/lang" "$work/data/test" "$work/exp/decode_test"
+  bash "$SCRIPTS/score.sh" --min-acwt 5 --max-acwt 15 \
+    "$work/data/test" "$work/lang" "$work/exp/decode_test"
+  echo "===== best WER ====="
+  grep -H "^summary" "$work/exp/decode_test"/wer_* |
+    awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
+fi
+
+echo "run.sh: done"

@@ -27,6 +27,22 @@ from .specifiers import (
 )
 from .streams import Input, InputStream, Output, OutputStream, open_input, open_output
 from .table import RandomAccessTableReader, SequentialTableReader, TableWriter
+from .nnet_example import NnetExample, NnetIo, read_nnet_example
+from .nnet1 import Nnet1Model
+from .randomizer import (
+    FloatVectorRandomizer,
+    Int32VectorRandomizer,
+    MatrixRandomizer,
+    NnetDataRandomizerOptions,
+    RandomizerMask,
+)
+
+
+def is_token(text: str) -> bool:
+    """Printable, non-empty, whitespace-free table key (reference
+    pyKaldiIO/text_util.py:20-26)."""
+    return bool(text) and not any(c.isspace() for c in text) \
+        and text.isprintable()
 
 
 # --- reference-compatible typed wrappers (pyKaldiIO/kaldi_table.py:1064-1142)

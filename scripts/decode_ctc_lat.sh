@@ -107,7 +107,7 @@ if [ ! -e "$dir/forward.done" ]; then
       --smooth-factor "$smooth_factor" \
       "$dir/tfrecords.scp" "$nnet_config" "$nnet" ark:- |
     $PYTHON "$BIN/copy-feats.py" ark:- \
-      "ark,scp:$PWD/$dir/post.ark,$dir/post.scp" ) \
+      "ark,scp:$(readlink -f "$dir")/post.ark,$dir/post.scp" ) \
     2> "$dir/forward.log" || exit 1
   touch "$dir/forward.done"
 else

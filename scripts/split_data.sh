@@ -20,12 +20,19 @@ for n in $(seq "$nj"); do
   mkdir -p "$subdir"
   "$SCRIPT_DIR/split_scp.pl" -j "$nj" $((n-1)) "$data/feats.scp" \
     "$subdir/feats.scp"
-  for f in utt2spk text wav.scp cmvn.scp; do
+  for f in utt2spk text wav.scp; do
     if [ -f "$data/$f" ]; then
       "$SCRIPT_DIR/filter_scp.pl" -f 1 "$subdir/feats.scp" \
         < "$data/$f" > "$subdir/$f"
     fi
   done
+  # cmvn.scp is keyed by speaker — filter by this split's speakers
+  if [ -f "$data/cmvn.scp" ] && [ -f "$subdir/utt2spk" ]; then
+    awk '{print $2}' "$subdir/utt2spk" | sort -u > "$subdir/.spklist"
+    "$SCRIPT_DIR/filter_scp.pl" -f 1 "$subdir/.spklist" \
+      < "$data/cmvn.scp" > "$subdir/cmvn.scp"
+    rm -f "$subdir/.spklist"
+  fi
   if [ -f "$data/spk2utt" ] && [ -f "$subdir/utt2spk" ]; then
     awk '{spk[$2]=spk[$2]" "$1} END {for (s in spk) print s spk[s]}' \
       "$subdir/utt2spk" | sort > "$subdir/spk2utt"
