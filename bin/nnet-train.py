@@ -29,7 +29,7 @@ from lstm_ctc_tpu.cli import (
 from lstm_ctc_tpu.data import iterate_batches
 from lstm_ctc_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from lstm_ctc_tpu.train.graph import make_train_step
-from lstm_ctc_tpu.train.loop import run_training_epoch
+from lstm_ctc_tpu.train.loop import MetricsWriter, run_training_epoch
 
 
 def main(args):
@@ -52,13 +52,22 @@ def main(args):
     opt_state = init_opt(params)
 
     rng = jax.random.PRNGKey(args.seed if args.seed is not None else 777)
-    params, opt_state, net_state, _ = run_training_epoch(
-        train_step, params, opt_state, net_state,
-        iterate_batches(batcher, shuffle=args.shuffle, seed=args.seed),
-        shard_fn, rng,
-        evaluate=args.evaluate,
-        report_interval=args.report_interval,
-    )
+    metrics_writer = MetricsWriter(args.metrics_file)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        params, opt_state, net_state, _ = run_training_epoch(
+            train_step, params, opt_state, net_state,
+            iterate_batches(batcher, shuffle=args.shuffle, seed=args.seed),
+            shard_fn, rng,
+            evaluate=args.evaluate,
+            report_interval=args.report_interval,
+            metrics_writer=metrics_writer,
+        )
+    finally:
+        metrics_writer.close()
+        if args.profile_dir:
+            jax.profiler.stop_trace()
 
     log.info('saving nnet to "%s"' % args.nnet_out)
     save_checkpoint(args.nnet_out, params, net_state)
@@ -102,6 +111,12 @@ if __name__ == "__main__":
                         help="whether to shuffle training data.")
     parser.add_argument("--clip-norm", metavar="gradient clip norm",
                         type=float, default=5.0, help="gradient clip norm")
+    parser.add_argument("--metrics-file", metavar="metrics-file", type=str,
+                        default=None,
+                        help="append per-step scalar metrics as JSONL.")
+    parser.add_argument("--profile-dir", metavar="profile-dir", type=str,
+                        default=None,
+                        help="capture a jax profiler trace for this epoch.")
     args = parser.parse_args()
     log_invocation()
     main(args)

@@ -18,10 +18,17 @@ if os.environ.get("JAX_PLATFORMS"):
 # Persistent XLA compilation cache: the outer training loop launches one
 # process per epoch (reference scripts/train.sh contract), so without this
 # every epoch re-pays the full jit compile of the train/eval steps.
+# The directory is partitioned by platform/plugin: sessions with a
+# remote-compile TPU plugin active produce CPU AOT blobs targeting the
+# *server's* machine features, which SIGILL if a pure-CPU run later loads
+# them (the cache key does not cover host CPU features).
+_cache_tag = os.environ.get("JAX_PLATFORMS") \
+    or ("plugin" if os.environ.get("PALLAS_AXON_POOL_IPS") else "default")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                   os.path.expanduser("~/.cache/lstm_ctc_tpu/jax-cache")))
+                   os.path.expanduser("~/.cache/lstm_ctc_tpu/jax-cache-"
+                                      + _cache_tag.replace(",", "-"))))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from . import logging_util as log

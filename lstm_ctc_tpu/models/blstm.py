@@ -115,6 +115,8 @@ def apply_blstm(params: Dict,
     dims = _model_dims(config)
     keep_prob = float(config.get("dropout_rate", 1.0)) if train else 1.0
     num_layers = dims["num_layers"]
+    compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        str(config.get("compute_dtype", "")).lower())
 
     finput = nnet_input
     binput = reverse_sequence(nnet_input, sequence_length)
@@ -122,7 +124,7 @@ def apply_blstm(params: Dict,
     for i in range(num_layers):
         fw_out, bw_out, (fw_state, bw_state) = bilstm_dual_scan(
             params["fwd"][i], params["bwd"][i], finput, binput,
-            sequence_length, FORGET_BIAS)
+            sequence_length, FORGET_BIAS, compute_dtype=compute_dtype)
         if keep_prob < 1.0 and dropout_rng is not None:
             dropout_rng, k_f, k_b = jax.random.split(dropout_rng, 3)
             fw_out = dropout(k_f, fw_out, keep_prob)

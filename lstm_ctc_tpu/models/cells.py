@@ -64,7 +64,8 @@ def lstm_scan(params: Dict,
               x: jnp.ndarray,
               sequence_length: jnp.ndarray,
               forget_bias: float = 1.0,
-              reverse: bool = False) -> Tuple[jnp.ndarray, Tuple]:
+              reverse: bool = False,
+              initial_state: Optional[Tuple] = None) -> Tuple[jnp.ndarray, Tuple]:
     """Run the cell over time.  x: [B, T, D] → outputs [B, T, P], final
     state (c [B, H], h [B, P]).
 
@@ -107,8 +108,9 @@ def lstm_scan(params: Dict,
         h_next = m * out + (1.0 - m) * h
         return (c_next, h_next), m * out
 
-    init = (jnp.zeros((batch, num_units), x.dtype),
-            jnp.zeros((batch, out_dim), x.dtype))
+    init = initial_state if initial_state is not None else (
+        jnp.zeros((batch, num_units), x.dtype),
+        jnp.zeros((batch, out_dim), x.dtype))
     (c_final, h_final), outputs = jax.lax.scan(step, init, (gates_x, mask))
     if reverse:
         outputs = outputs[::-1]
@@ -120,7 +122,8 @@ def bilstm_dual_scan(fw_params: Dict,
                      x: jnp.ndarray,
                      x_rev: jnp.ndarray,
                      sequence_length: jnp.ndarray,
-                     forget_bias: float = 1.0):
+                     forget_bias: float = 1.0,
+                     compute_dtype=None):
     """Run the forward and backward cells of one BLSTM layer in a single
     scan.  The two directions are independent within a layer, so batching
     them halves the number of sequential scan steps — the dominant cost on
@@ -141,15 +144,19 @@ def bilstm_dual_scan(fw_params: Dict,
     use_proj = "proj" in fw_params
 
     # [2, ...] stacked weights; direction is a batched matmul dimension.
-    wx = jnp.stack([fw_params["wx"], bw_params["wx"]])
-    wh = jnp.stack([fw_params["wh"], bw_params["wh"]])
+    # With compute_dtype=bfloat16 the matmul operands are cast down while
+    # accumulation and the carried state stay float32 (standard TPU mixed
+    # precision; ~10% step-time win on v5e).
+    cdt = compute_dtype or x.dtype
+    wx = jnp.stack([fw_params["wx"], bw_params["wx"]]).astype(cdt)
+    wh = jnp.stack([fw_params["wh"], bw_params["wh"]]).astype(cdt)
     bias = jnp.stack([fw_params["bias"], bw_params["bias"]])
-    x2 = jnp.stack([x, x_rev])                               # [2, B, T, D]
+    x2 = jnp.stack([x, x_rev]).astype(cdt)                   # [2, B, T, D]
     gates_x = jnp.einsum("kbtd,kdh->tkbh", x2, wx,
                          preferred_element_type=jnp.float32) \
         + bias[None, :, None, :]
     if use_proj:
-        proj = jnp.stack([fw_params["proj"], bw_params["proj"]])
+        proj = jnp.stack([fw_params["proj"], bw_params["proj"]]).astype(cdt)
     if use_peepholes:
         w_i = jnp.stack([fw_params["w_i_diag"], bw_params["w_i_diag"]])
         w_f = jnp.stack([fw_params["w_f_diag"], bw_params["w_f_diag"]])
@@ -161,7 +168,7 @@ def bilstm_dual_scan(fw_params: Dict,
     def step(carry, inputs):
         c, h = carry                                          # [2, B, H/P]
         g_x, m = inputs                                       # [T-slice]
-        gates = g_x + jnp.einsum("kbp,kph->kbh", h, wh,
+        gates = g_x + jnp.einsum("kbp,kph->kbh", h.astype(cdt), wh,
                                  preferred_element_type=jnp.float32)
         i, j, f, o = jnp.split(gates, 4, axis=-1)
         if use_peepholes:
@@ -173,7 +180,7 @@ def bilstm_dual_scan(fw_params: Dict,
             o = o + w_o[:, None, :] * c_new
         out = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         if use_proj:
-            out = jnp.einsum("kbh,khp->kbp", out, proj,
+            out = jnp.einsum("kbh,khp->kbp", out.astype(cdt), proj,
                              preferred_element_type=jnp.float32)
         m = m[None, :, None]
         c_next = m * c_new + (1.0 - m) * c

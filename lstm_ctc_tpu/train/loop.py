@@ -9,8 +9,10 @@ shell scripts scrape (reference scripts/train.sh:84-85,145,156-157).
 
 from __future__ import annotations
 
+import json
 import math
 import sys
+import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
@@ -19,6 +21,28 @@ import numpy as np
 from .. import logging_util as log
 from ..ops import edit_distance_batch, greedy_decode
 from ..ops.decode import dense_targets_to_lists
+
+
+class MetricsWriter:
+    """Append-only JSONL scalar log — the working replacement for the
+    reference's TF summaries, which were built but never written (no
+    FileWriter exists anywhere in the reference; SURVEY §5)."""
+
+    def __init__(self, path: Optional[str]):
+        self._fh = open(path, "a") if path else None
+        self._t0 = time.perf_counter()
+
+    def write(self, **scalars) -> None:
+        if self._fh is None:
+            return
+        scalars["wall_time"] = round(time.perf_counter() - self._t0, 4)
+        self._fh.write(json.dumps(scalars) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+            self._fh = None
 
 
 class EpochStats:
@@ -49,11 +73,13 @@ def run_training_epoch(train_step: Callable,
                        rng,
                        evaluate: bool = False,
                        eval_step: Optional[Callable] = None,
-                       report_interval: Optional[int] = 100):
+                       report_interval: Optional[int] = 100,
+                       metrics_writer: Optional[MetricsWriter] = None):
     """One training epoch.  Returns (params, opt_state, net_state, stats).
     Exits(1) on NaN running loss, logging ``tr_loss`` first, exactly like
     funcs.py:64-81."""
     stats = EpochStats()
+    step_t0 = time.perf_counter()
     for batch in batches:
         rng, step_rng = jax.random.split(rng)
         device_batch = shard_fn(batch)
@@ -62,6 +88,15 @@ def run_training_epoch(train_step: Callable,
         size = int(metrics["size"])
         eval_loss = float(metrics["eval_loss"])
         stats.update(size, eval_loss)
+        if metrics_writer is not None:
+            now = time.perf_counter()
+            frames = int(np.sum(np.asarray(batch.sequence_length)))
+            metrics_writer.write(
+                step=stats.steps, loss=stats.loss, size=size,
+                batch_loss=eval_loss / max(size, 1),
+                step_time=round(now - step_t0, 4),
+                frames_per_sec=round(frames / max(now - step_t0, 1e-9), 1))
+            step_t0 = now
         if report_interval and stats.steps % report_interval == 0:
             log.info("step = %d, batch_size = %d, loss = %f"
                      % (stats.steps, size, stats.loss))

@@ -136,6 +136,7 @@ for iter in $(seq "$max_iter"); do
       --optimizer "$optimizer" --seed "$iter" --shuffle "$shuffle" \
       --batch-size "$batch_size" --batch-threads "$batch_threads" \
       --report-interval "$report_interval" \
+      --metrics-file "$dir/nnet.${iter}.metrics.jsonl" \
       "$tr_tfrecords_scp" "$nnet_config" "$nnet_in" "$nnet_out" \
       2> "$dir/nnet.${iter}.tr.log"
     tr_loss=$(scrape "$dir/nnet.${iter}.tr.log" tr_loss)
