@@ -73,7 +73,17 @@ Fst ArpaToFst(std::istream& is, const SymbolTable& words,
       }
       continue;
     }
-    if (current == 0) continue;  // header/count lines
+    if (current == 0) {
+      // \data\ section: "ngram N=M" declares the orders up front — the
+      // max order decides which entries carry backoff states
+      if (line.rfind("ngram ", 0) == 0) {
+        size_t eq = line.find('=');
+        if (eq != std::string::npos) {
+          order = std::max(order, std::stoi(line.substr(6, eq - 6)));
+        }
+      }
+      continue;  // other header lines
+    }
 
     std::istringstream ss(line);
     float logp;

@@ -190,6 +190,81 @@ def test_make_tlg_and_latgen(tmp_path):
     assert decoded == ["cat", "dog"], decoded
 
 
+def test_lattice_lmrescore(tmp_path):
+    """LM swap through lattice-lmrescore flips an acoustically ambiguous
+    decision; same-LM roundtrip (−1 then +1) preserves the best path."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+
+    # ambiguous third phone: "k ae" then t/b equally likely → cat vs cab
+    seq = [unit_id["k"]] * 2 + [0] + [unit_id["ae"]] * 2 + [0]
+    mat = np.full((len(seq) + 3, len(units) + 1), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+    amb = len(seq)
+    mat[amb, unit_id["t"]] = -0.7
+    mat[amb, unit_id["b"]] = -0.7
+    mat[amb + 1, unit_id["t"]] = -0.7
+    mat[amb + 1, unit_id["b"]] = -0.7
+    mat[amb + 2, 0] = 0.0
+
+    post_ark = str(tmp_path / "amb.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+    lat_ark = str(tmp_path / "amb_lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--beam=20", "--lattice-beam=12", "--allow-partial=true",
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    words_txt = (lang / "words.txt").read_text().split()
+    word_of = {words_txt[i + 1]: words_txt[i]
+               for i in range(0, len(words_txt), 2)}
+    id_of = {v: k for k, v in word_of.items()}
+
+    def best(ark):
+        tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+                   "ark:" + ark, "ark,t:-"])
+        return [word_of[t] for t in tra.split()[1:]]
+
+    # baseline LM has a <s> cat bigram → prefers cat
+    assert best(lat_ark) == ["cat"]
+
+    # roundtrip with the same G: unchanged
+    mid = str(tmp_path / "mid.ark")
+    back = str(tmp_path / "back.ark")
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=-1.0",
+         "ark:" + lat_ark, str(lang / "G.fst"), "ark:" + mid])
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=1.0",
+         "ark:" + mid, str(lang / "G.fst"), "ark:" + back])
+    assert best(back) == ["cat"]
+
+    # new LM strongly preferring cab → decision flips
+    arpa2 = tmp_path / "lm2.arpa"
+    arpa2.write_text("""
+\\data\\
+ngram 1=5
+
+\\1-grams:
+-0.3 </s>
+-99 <s>
+-2.5 cat
+-2.5 dog
+-0.2 cab
+
+\\end\\
+""")
+    run([os.path.join(FSTBIN, "fst-tools"), "arpa2fst",
+         "--disambig-symbol=#0",
+         "--read-symbol-table=%s" % (lang / "words.txt"),
+         str(arpa2), str(tmp_path / "G2.fst")])
+    out = str(tmp_path / "resc.ark")
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=-1.0",
+         "ark:" + lat_ark, str(lang / "G.fst"), "ark:" + mid])
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=1.0",
+         "ark:" + mid, str(tmp_path / "G2.fst"), "ark:" + out])
+    assert best(out) == ["cab"]
+
+
 def test_lattice_scale_sweep_changes_nothing_here(tmp_path):
     """lattice-scale roundtrip: scaling acoustic costs preserves the best
     path when acoustics dominate."""
