@@ -133,4 +133,20 @@ if [ "$stage" -le 5 ]; then
     awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
 fi
 
+if [ "$stage" -le 6 ]; then
+  echo "===== stage 6: LM rescoring (second LM over the same lattices) ====="
+  # rescore with the dev-estimated LM as a stand-in "bigger" LM; exercises
+  # the lattice-lmrescore path (reference const-arpa rescoring protocol)
+  $PYTHON "$RECIPE_DIR/local/train_lm.py" "$work/data/dev/text" \
+    > "$work/data/lm2.arpa"
+  bash "$SCRIPTS/make_TLG.sh" "$work/data/dict" "$work/data/lm2.arpa" \
+    "$work/lang2" > /dev/null
+  bash "$SCRIPTS/lmrescore.sh" --min-acwt 5 --max-acwt 15 \
+    "$work/lang" "$work/lang2" "$work/data/test" \
+    "$work/exp/decode_test" "$work/exp/decode_test_rescored"
+  echo "===== rescored best WER ====="
+  grep -H "^summary" "$work/exp/decode_test_rescored"/wer_* |
+    awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
+fi
+
 echo "run.sh: done"

@@ -27,6 +27,7 @@ def cli_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out of CLIs
+    env.pop("XLA_FLAGS", None)  # no virtual multi-device in subprocesses
     return env
 
 

@@ -22,6 +22,7 @@ def sh_env():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHON"] = sys.executable
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out
+    env.pop("XLA_FLAGS", None)  # no virtual multi-device in subprocesses
     return env
 
 

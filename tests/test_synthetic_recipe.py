@@ -21,6 +21,7 @@ FSTBIN = os.path.join(REPO, "native", "build")
 def test_synthetic_recipe_end_to_end(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHON=sys.executable)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # no virtual multi-device in subprocesses
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "egs", "synthetic", "run.sh"),
          "--work", str(tmp_path / "work"),
