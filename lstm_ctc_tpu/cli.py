@@ -5,7 +5,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import numpy as np

@@ -22,7 +22,7 @@ feature-fbank.cc, mel-computations.cc):
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ formats so they interoperate with real Kaldi tools in either direction.
 from __future__ import annotations
 
 import struct
-import sys
 from typing import List, Tuple
 
 import numpy as np

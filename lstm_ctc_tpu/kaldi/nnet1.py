@@ -7,7 +7,7 @@ common elementwise components) for importing legacy DNN weights.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

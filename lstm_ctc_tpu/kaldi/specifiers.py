@@ -18,7 +18,7 @@ pure-Python rendition, pyKaldiIO/io_funcs.py:256-563):
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class InputKind(enum.Enum):

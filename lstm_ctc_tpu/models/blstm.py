@@ -17,11 +17,10 @@ Capability mirror of reference nnet/bilstm.py:25-273:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import logging_util as log
 from ..train.class_prior import get_class_prior
@@ -29,7 +28,6 @@ from .cells import (
     bilstm_dual_scan,
     dropout,
     init_lstm_cell,
-    lstm_scan,
     reverse_sequence,
     truncated_normal,
 )

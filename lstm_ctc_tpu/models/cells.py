@@ -19,7 +19,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def glorot_uniform(rng, shape, dtype=jnp.float32):

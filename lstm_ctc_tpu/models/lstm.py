@@ -23,7 +23,7 @@ moments live in a separate ``state`` pytree updated by the train step.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,10 +13,8 @@ Restore rebuilds values into a template pytree of identical structure (from
 
 from __future__ import annotations
 
-import io
 import os
-import zipfile
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np

@@ -25,7 +25,7 @@ inserts the gradient all-reduce automatically.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ import json
 import math
 import sys
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import numpy as np
