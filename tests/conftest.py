@@ -22,3 +22,21 @@ jax.config.update("jax_platforms", "cpu")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Build the native WFST toolkit once if it's missing (fresh checkout).
+_FSTBIN = os.path.join(REPO_ROOT, "native", "build", "fst-tools")
+if not os.path.exists(_FSTBIN):
+    import shutil
+    import subprocess
+    if shutil.which("cmake") and shutil.which("ninja"):
+        try:
+            subprocess.run(
+                ["cmake", "-B", "build", "-G", "Ninja", "."],
+                cwd=os.path.join(REPO_ROOT, "native"), check=True,
+                capture_output=True, timeout=300)
+            subprocess.run(
+                ["ninja", "-C", "build"],
+                cwd=os.path.join(REPO_ROOT, "native"), check=True,
+                capture_output=True, timeout=600)
+        except (subprocess.SubprocessError, OSError):
+            pass  # native tests will skip themselves
