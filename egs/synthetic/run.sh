@@ -19,6 +19,7 @@ stage=0
 work=$RECIPE_DIR/work
 max_iter=25
 min_iters=25
+keep_lr_iters=0
 num_experts=0
 num_layers=2
 num_neurons=64
@@ -112,6 +113,7 @@ EOF
     --nnet-config "$work/nnet.config" --dir "$work/exp" \
     --objective ctc --optimizer adam --learn-rate "$learn_rate" \
     --max-iter "$max_iter" --min-iters "$min_iters" \
+    --keep-lr-iters "$keep_lr_iters" \
     --batch-size "$batch_size" --cv-goal loss --shuffle true
   # feature-prep markers read by decode_ctc_lat.sh
   echo true > "$work/exp/norm_vars"

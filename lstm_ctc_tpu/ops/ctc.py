@@ -27,12 +27,27 @@ through the forward scan (~3× faster end-to-end, measured on v5e).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+
+def _use_pallas() -> bool:
+    """Pallas DP kernels on real TPUs; lax.scan elsewhere (and under
+    LSTM_CTC_TPU_CTC_IMPL=scan for A/B comparisons)."""
+    impl = os.environ.get("LSTM_CTC_TPU_CTC_IMPL", "auto")
+    if impl == "scan":
+        return False
+    if impl == "pallas":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
 
 
 def _log3sum(a, b, c):
@@ -85,21 +100,28 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    def fwd_step(alpha, inputs):
-        lp, alive = inputs
-        summed = _log3sum(alpha, _shift_right(alpha, 1),
-                          jnp.where(can_skip, _shift_right(alpha, 2),
-                                    NEG_INF))
-        new_alpha = jnp.where(valid, summed + lp, NEG_INF)
-        new_alpha = jnp.where(alive[:, None], new_alpha, alpha)
-        return new_alpha, alpha
+    if _use_pallas():
+        from .ctc_pallas import alpha_pallas
+        interpret = jax.default_backend() == "cpu"
+        alpha_all = alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
+                                 interpret=interpret)
+        alpha_last = alpha_all[-1]
+    else:
+        def fwd_step(alpha, inputs):
+            lp, alive = inputs
+            summed = _log3sum(alpha, _shift_right(alpha, 1),
+                              jnp.where(can_skip, _shift_right(alpha, 2),
+                                        NEG_INF))
+            new_alpha = jnp.where(valid, summed + lp, NEG_INF)
+            new_alpha = jnp.where(alive[:, None], new_alpha, alpha)
+            return new_alpha, alpha
 
-    alpha_last, alpha_hist = jax.lax.scan(
-        fwd_step, alpha0, (lp_ext[1:], time_mask[1:]))
-    alpha_last = jnp.where((sequence_length > 0)[:, None], alpha_last,
-                           alpha0)
-    # alpha_hist rows are the PRE-step alphas → alpha at t = concat order
-    alpha_all = jnp.concatenate([alpha_hist, alpha_last[None]], axis=0)
+        alpha_last, alpha_hist = jax.lax.scan(
+            fwd_step, alpha0, (lp_ext[1:], time_mask[1:]))
+        alpha_last = jnp.where((sequence_length > 0)[:, None], alpha_last,
+                               alpha0)
+        # alpha_hist rows are PRE-step alphas → alpha at t = concat order
+        alpha_all = jnp.concatenate([alpha_hist, alpha_last[None]], axis=0)
 
     end = 2 * label_length
     last_blank = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
@@ -141,27 +163,34 @@ def _backward(residuals, grad_loss):
     # transition s → s+2 is allowed iff can_skip holds at the DESTINATION
     skip_from = jnp.concatenate(
         [can_skip[:, 2:], jnp.zeros((batch, 2), dtype=bool)], axis=1)
-
-    def bwd_step(beta, inputs):
-        lp, alive, is_last = inputs
-        # initialize at each sequence's final frame
-        init = jnp.where(final_mask & valid, lp, NEG_INF)
-        moved = _log3sum(beta, _shift_left(beta, 1),
-                         jnp.where(skip_from, _shift_left(beta, 2),
-                                   NEG_INF))
-        new_beta = jnp.where(valid, moved + lp, NEG_INF)
-        new_beta = jnp.where(is_last[:, None], init, new_beta)
-        new_beta = jnp.where(alive[:, None], new_beta, beta)
-        return new_beta, new_beta
-
     # iterate t = T-1 .. 0; is_last marks t == sequence_length-1
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
-    beta_init = jnp.full((batch, ext_len), NEG_INF, jnp.float32)
-    _, beta_all_rev = jax.lax.scan(
-        bwd_step, beta_init,
-        (lp_ext[::-1], time_mask[::-1], is_last[::-1]))
-    beta_all = beta_all_rev[::-1]                             # [T, B, S]
+
+    if _use_pallas():
+        from .ctc_pallas import beta_pallas
+        interpret = jax.default_backend() == "cpu"
+        beta_all = beta_pallas(lp_ext, time_mask, is_last, valid,
+                               skip_from, final_mask & valid,
+                               interpret=interpret)
+    else:
+        def bwd_step(beta, inputs):
+            lp, alive, last = inputs
+            # initialize at each sequence's final frame
+            init = jnp.where(final_mask & valid, lp, NEG_INF)
+            moved = _log3sum(beta, _shift_left(beta, 1),
+                             jnp.where(skip_from, _shift_left(beta, 2),
+                                       NEG_INF))
+            new_beta = jnp.where(valid, moved + lp, NEG_INF)
+            new_beta = jnp.where(last[:, None], init, new_beta)
+            new_beta = jnp.where(alive[:, None], new_beta, beta)
+            return new_beta, new_beta
+
+        beta_init = jnp.full((batch, ext_len), NEG_INF, jnp.float32)
+        _, beta_all_rev = jax.lax.scan(
+            bwd_step, beta_init,
+            (lp_ext[::-1], time_mask[::-1], is_last[::-1]))
+        beta_all = beta_all_rev[::-1]                         # [T, B, S]
 
     # occupancy gamma_t(s) = alpha_t + beta_t - lp_ext_t - loglik
     gamma_log = alpha_all + beta_all - lp_ext - log_lik[None, :, None]

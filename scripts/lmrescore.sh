@@ -13,7 +13,8 @@ FSTBIN=${FSTBIN:-$SCRIPT_DIR/../native/build}
 
 cmd="$SCRIPT_DIR/run.pl"
 skip_scoring=false
-scoring_opts="--min-acwt 1 --max-acwt 20"
+min_acwt=1
+max_acwt=20
 
 . "$SCRIPT_DIR/parse_options.sh" || exit 1
 
@@ -42,7 +43,7 @@ $cmd JOB=1:"$nj" "$outdir/rescore.JOB.log" \
     "ark:|gzip -c > $outdir/lat.JOB.gz" || exit 1
 
 if ! $skip_scoring; then
-  "$SCRIPT_DIR/score.sh" $scoring_opts --cmd "$cmd" "$data" "$newlang" \
-    "$outdir" || exit 1
+  "$SCRIPT_DIR/score.sh" --min-acwt "$min_acwt" --max-acwt "$max_acwt" \
+    --cmd "$cmd" "$data" "$newlang" "$outdir" || exit 1
 fi
 exit 0

@@ -25,7 +25,8 @@ def test_synthetic_recipe_end_to_end(tmp_path):
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "egs", "synthetic", "run.sh"),
          "--work", str(tmp_path / "work"),
-         "--num-train", "48", "--max-iter", "15", "--min-iters", "15"],
+         "--num-train", "64", "--max-iter", "18", "--min-iters", "18",
+         "--keep-lr-iters", "18"],
         capture_output=True, text=True, env=env, cwd=REPO)
     assert proc.returncode == 0, \
         "recipe failed:\nstdout:\n%s\nstderr:\n%s" % (
