@@ -13,6 +13,11 @@ CLI mirror of reference bin/nnet-forward.py:29-159:
 Unlike the reference's strictly batch-1 inference graph
 (nnet/graph.py:212-241), utterances are batched through the bucketed
 pipeline for throughput; per-utterance outputs are sliced back out.
+
+``--streaming true`` (causal lstm/cudnnlstm models only) instead runs the
+chunked streaming session (models/streaming.py) per utterance — the
+deployment mode for low-latency serving; outputs are identical to the
+offline pass.
 """
 
 import argparse
@@ -33,6 +38,7 @@ from lstm_ctc_tpu.cli import (
     str2bool,
 )
 from lstm_ctc_tpu.data import iterate_batches, scan_scp
+from lstm_ctc_tpu.data.pipeline import iterate_utterances
 from lstm_ctc_tpu.train.checkpoint import load_checkpoint
 from lstm_ctc_tpu.train.class_prior import get_class_prior
 from lstm_ctc_tpu.models import apply_model
@@ -51,11 +57,39 @@ def main(args):
     params, net_state, _ = load_checkpoint(
         args.nnet_in, template_params, template_state)
 
+    smooth = args.smooth_factor
+
+    if args.streaming:
+        from lstm_ctc_tpu.models.streaming import StreamingSession
+        writer = kaldi.BaseFloatMatrixWriter(args.nnet_output)
+        processed = 0
+        metas = scan_scp(args.tfrecords_scp)
+        for key, raw, _ in iterate_utterances(metas):
+            # session consumes RAW frames (it does splice/subsample itself)
+            session = StreamingSession(params, net_state, config,
+                                       chunk_size=args.chunk_frames)
+            logits = session.process(raw, flush=True)
+            out = logits
+            if args.apply_softmax:
+                e = np.exp(smooth * logits
+                           - (smooth * logits).max(axis=1, keepdims=True))
+                out = e / e.sum(axis=1, keepdims=True)
+            if args.apply_log:
+                with np.errstate(divide="ignore"):
+                    out = np.log(out)
+            if class_prior is not None:
+                out = out - class_prior
+            writer.Write(key, out.astype(np.float32))
+            processed += 1
+            if args.report_interval and processed % args.report_interval == 0:
+                log.info("processed = %d" % processed)
+        log.info("done")
+        writer.Close()
+        return
+
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             need_labels=False)
     shard_fn, _ = make_shard_fn(args.batch_size)
-
-    smooth = args.smooth_factor
 
     @jax.jit
     def forward(nnet_input, sequence_length):
@@ -115,6 +149,12 @@ if __name__ == "__main__":
                         help="smooth factor for softmax")
     parser.add_argument("--batch-size", metavar="batch-size", type=int,
                         default=16, help="inference batch size.")
+    parser.add_argument("--streaming", metavar="streaming", type=str2bool,
+                        default="false",
+                        help="chunked causal streaming inference "
+                             "(lstm/cudnnlstm models).")
+    parser.add_argument("--chunk-frames", metavar="chunk-frames", type=int,
+                        default=32, help="streaming chunk size (frames).")
     args = parser.parse_args()
     log_invocation()
     main(args)

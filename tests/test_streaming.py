@@ -65,3 +65,56 @@ def test_streaming_rejects_blstm():
     params, state = init_model(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError):
         StreamingSession(params, state, config)
+
+
+@pytest.mark.slow
+def test_streaming_forward_cli(tmp_path):
+    """nnet-forward --streaming writes the same posteriors as the batched
+    path (causal model with splice+subsample)."""
+    import os
+    import subprocess
+    import sys
+
+    from lstm_ctc_tpu import kaldi
+    from lstm_ctc_tpu.data import RecordShardWriter
+    from lstm_ctc_tpu.train.checkpoint import save_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    config = dict(BASE_CONFIG, nnet_type="lstm", left_context=1,
+                  right_context=1, subsample=2)
+    params, state = init_model(jax.random.PRNGKey(0), config)
+    ckpt = str(tmp_path / "nnet.0")
+    save_checkpoint(ckpt, params, state)
+
+    cfg_path = tmp_path / "nnet.config"
+    cfg_path.write_text("".join(
+        "%s = %s\n" % (k, str(v).lower() if isinstance(v, bool) else v)
+        for k, v in config.items()))
+
+    rng = np.random.RandomState(0)
+    scp = str(tmp_path / "r.scp")
+    with RecordShardWriter(str(tmp_path / "r.rec")) as writer, \
+            open(scp, "w") as scp_fh:
+        for i in range(3):
+            meta = writer.write("u%d" % i,
+                                rng.randn(40 + i * 7, 6).astype(np.float32))
+            scp_fh.write(meta.scp_line())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+
+    outs = {}
+    for mode, flag in [("batch", "false"), ("stream", "true")]:
+        ark = str(tmp_path / ("%s.ark" % mode))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bin", "nnet-forward.py"),
+             scp, str(cfg_path), ckpt, "ark:" + ark,
+             "--apply-log", "true", "--streaming", flag],
+            capture_output=True, text=True, env=env, cwd=repo)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        outs[mode] = dict(
+            kaldi.SequentialBaseFloatMatrixReader("ark:" + ark))
+    for key in outs["batch"]:
+        np.testing.assert_allclose(outs["stream"][key], outs["batch"][key],
+                                   atol=2e-3)
