@@ -181,3 +181,57 @@ seed = 3
     assert "summary wer:" in per
     summary_wer = float(per.split("summary wer:")[1].split()[0])
     assert summary_wer < 0.3, "PER too high after training: %s" % summary_wer
+
+
+@pytest.mark.slow
+def test_train_variants_and_warm_start(tmp_path):
+    """train.sh (plain newbob) and train_decay.sh run; train_oplr.sh
+    --srcdir warm-starts from another experiment's final.nnet."""
+    feats_scp, labels_scp, _ = make_corpus(tmp_path, "tr", 16, 9)
+    cmvn = str(tmp_path / "cmvn.mat")
+    run([sys.executable, os.path.join(REPO, "bin", "compute-cmvn-stats.py"),
+         "scp:" + feats_scp, cmvn])
+    run(["bash", os.path.join(SCRIPTS, "tfrecord.sh"),
+         "--feats-scp", feats_scp, "--trans-scp", labels_scp,
+         "--cmvn-ark", cmvn, "--nj", "1", "--dir", str(tmp_path / "rec")])
+    scp = str(tmp_path / "rec" / "tfrecords.scp")
+
+    config = tmp_path / "nnet.config"
+    config.write_text("""nnet_type = lstm
+input_dim = %d
+left_context = 0
+right_context = 0
+subsample = 0
+num_layers = 1
+num_neurons = 12
+num_projects = 12
+num_targets = %d
+use_peepholes = true
+dropout_rate = 1.0
+num_experts = 0
+seed = 3
+""" % (INPUT_DIM, NUM_CLASSES))
+
+    common = ["--tr-tfrecords-scp", scp, "--cv-tfrecords-scp", scp,
+              "--objective", "ctc", "--optimizer", "adam",
+              "--learn-rate", "0.004", "--max-iter", "1",
+              "--min-iters", "0", "--batch-size", "8",
+              "--cv-goal", "loss"]
+
+    for script in ("train.sh", "train_decay.sh"):
+        exp = tmp_path / ("exp_" + script.replace(".sh", ""))
+        run(["bash", os.path.join(SCRIPTS, script),
+             "--nnet-config", str(config), "--dir", str(exp)] + common)
+        assert (exp / "final.nnet").exists()
+        final = (exp / "final.nnet").read_text().strip()
+        assert (exp / final).exists()
+
+    # warm start: srcdir points at the finished train.sh experiment
+    src_exp = tmp_path / "exp_train"
+    warm = tmp_path / "exp_warm"
+    run(["bash", os.path.join(SCRIPTS, "train_oplr.sh"),
+         "--srcdir", str(src_exp), "--dir", str(warm)] + common)
+    assert (warm / "final.nnet").exists()
+    # iteration 0 validated the warm-start model (no nnet.0 file created)
+    assert not (warm / "nnet.0").exists()
+    assert (warm / "nnet.0.done").exists()
