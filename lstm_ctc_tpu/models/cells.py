@@ -110,7 +110,8 @@ def lstm_scan(params: Dict,
     init = initial_state if initial_state is not None else (
         jnp.zeros((batch, num_units), x.dtype),
         jnp.zeros((batch, out_dim), x.dtype))
-    (c_final, h_final), outputs = jax.lax.scan(step, init, (gates_x, mask))
+    (c_final, h_final), outputs = jax.lax.scan(
+        jax.checkpoint(step), init, (gates_x, mask))
     if reverse:
         outputs = outputs[::-1]
     return jnp.moveaxis(outputs, 0, 1), (c_final, h_final)
@@ -188,7 +189,11 @@ def bilstm_dual_scan(fw_params: Dict,
 
     init = (jnp.zeros((2, batch, num_units), x.dtype),
             jnp.zeros((2, batch, out_dim), x.dtype))
-    (c_final, h_final), outputs = jax.lax.scan(step, init, (gates_x, mask))
+    # Full rematerialization of the step in the backward pass: recomputing
+    # the gate math is cheaper than storing per-step residuals in HBM
+    # (~13% fwd+bwd on v5e).
+    (c_final, h_final), outputs = jax.lax.scan(
+        jax.checkpoint(step), init, (gates_x, mask))
     outputs = jnp.moveaxis(outputs, 0, 2)                     # [2, B, T, P]
     fw_state = (c_final[0], h_final[0])
     bw_state = (c_final[1], h_final[1])
