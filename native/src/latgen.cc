@@ -22,6 +22,7 @@
 #include <fstream>
 #include <iostream>
 #include <limits>
+#include <queue>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -136,18 +137,24 @@ class LatticeDecoder {
                          {arc.ilabel, arc.olabel, arc.weight, ac, -1}});
       }
     }
+    // second pass: settle token costs first, then add lattice arcs with a
+    // per-destination margin (bounds the arc flood on high-entropy frames)
     float cutoff = best + flags_.beam;
-    float lat_cutoff = best + flags_.lattice_beam;
-    for (auto& cand : cands) {
+    next->reserve(cands.size());
+    for (const Cand& cand : cands) {
       if (cand.cost >= cutoff) continue;
       auto it = next->find(cand.dest);
       if (it == next->end()) {
-        Token tok{cand.cost, lat->AddState()};
-        it = next->emplace(cand.dest, tok).first;
+        next->emplace(cand.dest, Token{cand.cost, lat->AddState()});
       } else if (cand.cost < it->second.cost) {
         it->second.cost = cand.cost;
       }
-      if (cand.cost < lat_cutoff) {
+    }
+    for (auto& cand : cands) {
+      if (cand.cost >= cutoff) continue;
+      auto it = next->find(cand.dest);
+      if (it == next->end()) continue;
+      if (cand.cost < it->second.cost + flags_.lattice_beam) {
         cand.arc.nextstate = it->second.lat_state;
         lat->AddArc(cand.src_lat, cand.arc);
       }
@@ -156,37 +163,39 @@ class LatticeDecoder {
 
   void ProcessNonemitting(std::unordered_map<StateId, Token>* cur,
                           Lattice* lat) {
+    // epsilon weights in TLG are non-negative (LM costs, determinization
+    // residuals), so Dijkstra settles each state exactly once.
     float best = kInf;
     for (const auto& [s, tok] : *cur) best = std::min(best, tok.cost);
     float cutoff = best + flags_.beam;
-    std::vector<StateId> queue;
-    queue.reserve(cur->size());
-    for (const auto& [s, tok] : *cur) queue.push_back(s);
-    size_t steps = 0;
-    const size_t limit = 100000 + 20 * graph_.NumStates();
-    while (!queue.empty()) {
-      if (++steps > limit) break;  // epsilon-cycle guard
-      StateId s = queue.back();
-      queue.pop_back();
+    using Item = std::pair<float, StateId>;
+    std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+    for (const auto& [s, tok] : *cur) pq.push({tok.cost, s});
+    while (!pq.empty()) {
+      auto [cost, s] = pq.top();
+      pq.pop();
       Token tok = (*cur)[s];
-      if (tok.cost > cutoff) continue;
+      if (cost > tok.cost + 1e-6f) continue;  // stale entry
+      if (cost > cutoff) continue;
       for (const Arc& arc : graph_.ArcsAt(s)) {
         if (arc.ilabel != 0) continue;
-        float cost = tok.cost + arc.weight;
-        if (cost > cutoff) continue;
+        float ncost = cost + arc.weight;
+        if (ncost > cutoff) continue;
         auto it = cur->find(arc.nextstate);
-        bool improved = false;
         if (it == cur->end()) {
-          Token ntok{cost, lat->AddState()};
-          it = cur->emplace(arc.nextstate, ntok).first;
-          improved = true;
-        } else if (cost < it->second.cost - 1e-6f) {
-          it->second.cost = cost;
-          improved = true;
+          it = cur->emplace(arc.nextstate,
+                            Token{ncost, lat->AddState()}).first;
+          pq.push({ncost, arc.nextstate});
+        } else if (ncost < it->second.cost - 1e-6f) {
+          it->second.cost = ncost;
+          pq.push({ncost, arc.nextstate});
         }
-        lat->AddArc(tok.lat_state, {0, arc.olabel, arc.weight, 0.0f,
-                                    it->second.lat_state});
-        if (improved) queue.push_back(arc.nextstate);
+        // record the eps transition once per settled source within the
+        // lattice margin of the destination's best
+        if (ncost < it->second.cost + flags_.lattice_beam) {
+          lat->AddArc(tok.lat_state, {0, arc.olabel, arc.weight, 0.0f,
+                                      it->second.lat_state});
+        }
       }
     }
   }
