@@ -192,6 +192,11 @@ def read_compressed_matrix(stream, token: str) -> np.ndarray:
     if token == "CM2":
         codes = np.frombuffer(stream.read(2 * rows * cols), dtype="<u2")
         return _u16_to_float(min_value, rng, codes.reshape(rows, cols))
+    if token == "CM3":
+        # one byte per element on the global [min, min+range] scale
+        codes = np.frombuffer(stream.read(rows * cols), dtype=np.uint8)
+        out = min_value + rng * (1.0 / 255.0) * codes.astype(np.float32)
+        return out.reshape(rows, cols).astype(np.float32)
     raise KaldiIOError("unsupported compressed-matrix token %r" % token)
 
 

@@ -256,3 +256,20 @@ def test_kaldi_style_done_key_next_surface(tmp_path):
         reader.Next()
     assert keys == ["x", "y"]
     reader.Close()
+
+
+def test_compressed_matrix_cm3_decode():
+    """CM3: one uint8 per element on a global scale (the reference's
+    pyKaldiIO only handles CM/CM2)."""
+    rng = np.random.RandomState(3)
+    mat = rng.randn(6, 5).astype(np.float32)
+    min_value = float(mat.min())
+    value_range = float(mat.max() - mat.min())
+    codes = np.clip(np.round((mat - min_value) / value_range * 255.0),
+                    0, 255).astype(np.uint8)
+    payload = b"\x00BCM3 " + struct.pack("<ffii", min_value, value_range,
+                                         6, 5) + codes.tobytes()
+    stream = bytes_stream(payload)
+    assert binio.init_input_stream(stream)
+    got = binio.read_matrix(stream, True)
+    assert np.abs(got - mat).max() < value_range / 128.0
