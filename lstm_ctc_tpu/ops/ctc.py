@@ -50,6 +50,17 @@ def _use_pallas() -> bool:
         return False
 
 
+def _lattice_fits_vmem(batch: int, ext_len: int,
+                       budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """The Pallas kernels hold one TIME_BLOCK of lp/out plus the carry in
+    VMEM; very long label sequences (huge 2U+1 lattices) must fall back
+    to the scan path."""
+    from .ctc_pallas import TIME_BLOCK
+    lanes = -(-ext_len // 128) * 128
+    block_bytes = TIME_BLOCK * batch * lanes * 4
+    return 2 * block_bytes + batch * lanes * 4 < budget_bytes
+
+
 def _log3sum(a, b, c):
     """logsumexp of three stacked [B, S] terms, NEG_INF-safe."""
     m = jnp.maximum(jnp.maximum(a, b), c)
@@ -100,7 +111,7 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    if _use_pallas():
+    if _use_pallas() and _lattice_fits_vmem(batch, ext.shape[1]):
         from .ctc_pallas import alpha_pallas
         interpret = jax.default_backend() == "cpu"
         alpha_all = alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
@@ -167,7 +178,7 @@ def _backward(residuals, grad_loss):
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
 
-    if _use_pallas():
+    if _use_pallas() and _lattice_fits_vmem(batch, ext_len):
         from .ctc_pallas import beta_pallas
         interpret = jax.default_backend() == "cpu"
         beta_all = beta_pallas(lp_ext, time_mask, is_last, valid,
