@@ -23,6 +23,7 @@ def make_case(seed, B=3, T=70, V=6, U=5):
         label_len[b] = u
     labels[2, :] = -1     # empty-label row
     label_len[2] = 0
+    seq_len[1] = 0        # dummy padding row (zero-length sequence)
     return (jnp.asarray(logits), jnp.asarray(seq_len), jnp.asarray(labels),
             jnp.asarray(label_len))
 
