@@ -140,3 +140,25 @@ def test_training_reduces_loss_to_near_zero():
                          np.asarray(batch["sequence_length"]))
     refs = dense_targets_to_lists(np.asarray(batch["nnet_target"]))
     assert hyps == refs
+
+
+def test_moe_treatment_model_trains():
+    """The mixture-of-softmaxes head (the ICASSP'19 treatment model) must
+    train to near-zero loss, including with its dropout active."""
+    config = dict(CONFIG, num_experts=4, moe_temp=10.0, dropout_rate=0.9)
+    rng = np.random.RandomState(42)
+    batch = make_batch(rng, batch=8, time=20)
+    params, net_state = init_model(jax.random.PRNGKey(0), config)
+    init_opt, train_step = make_train_step(
+        config, learn_rate=5e-3, optimizer="adam")
+    opt_state = init_opt(params)
+    key = jax.random.PRNGKey(1)
+    per_label = None
+    for _ in range(250):
+        key, sub = jax.random.split(key)
+        params, opt_state, net_state, metrics = train_step(
+            params, opt_state, net_state, sub, batch)
+        per_label = float(metrics["eval_loss"]) / int(metrics["size"])
+        if per_label < 0.05:
+            break
+    assert per_label < 0.05, "MoE model did not converge: %.3f" % per_label
