@@ -157,9 +157,10 @@ class BucketedBatcher:
         return plan
 
     def assemble(self, bucket_idx: int, indices: List[int],
-                 loader: RecordLoader) -> Batch:
+                 loader) -> Batch:
         """Load, transform and pad a batch given utterance indices (all from
-        one bucket)."""
+        one bucket).  ``loader`` is a RecordLoader (numpy path) or a
+        native_loader.NativeRecordLoader (fused C++ path)."""
         bucket = self.buckets[bucket_idx]
         batch_b = self.batch_size
         t_pad, u_pad = bucket.time_steps, bucket.label_steps
@@ -168,8 +169,17 @@ class BucketedBatcher:
         targets = np.full((batch_b, u_pad), -1, dtype=np.int32)
         tgt_len = np.zeros((batch_b,), dtype=np.int32)
         keys = []
+        native = hasattr(loader, "load_row")
         for row, idx in enumerate(indices):
             meta = self.metas[idx]
+            if native:
+                t_len, label_len = loader.load_row(
+                    meta, self.left_context, self.right_context,
+                    self.subsample, feats[row], targets[row])
+                seq_len[row] = t_len
+                tgt_len[row] = label_len
+                keys.append(meta.key)
+                continue
             key, mat, labels = loader.load(meta)
             mat = splice_frames(mat, self.left_context, self.right_context)
             mat = subsample_frames(mat, self.subsample)
@@ -189,7 +199,11 @@ def iterate_batches(batcher: BucketedBatcher,
                     prefetch: int = 4) -> Iterator[Batch]:
     """Yield one epoch of batches, assembling them on a background thread."""
     plan = batcher.batch_plan(shuffle, seed)
-    loader = RecordLoader()
+    from . import native_loader
+    if native_loader.available():
+        loader = native_loader.NativeRecordLoader()
+    else:
+        loader = RecordLoader()
 
     def produce(q: "queue.Queue"):
         try:

@@ -142,3 +142,36 @@ def test_scp_consistency_checks(tmp_path):
     (tmp_path / "bad.scp").write_text("\n".join([" ".join(bad)] + lines[1:]))
     with pytest.raises(SystemExit):
         scan_scp(str(tmp_path / "bad.scp"))
+
+
+def test_native_loader_matches_python(tmp_path, monkeypatch):
+    """The C++ batch assembler must produce byte-identical batches to the
+    numpy path (splice + subsample + padding + labels)."""
+    from lstm_ctc_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native record loader not built")
+    scp, _ = make_dataset(tmp_path, num_utts=12, dim=5, seed=4)
+    metas = scan_scp(scp)
+    label_lengths = scan_label_lengths(metas)
+    batcher = BucketedBatcher(metas, batch_size=4, left_context=2,
+                              right_context=1, subsample=3,
+                              label_lengths=label_lengths)
+
+    def collect():
+        return [(b.nnet_input.copy(), b.sequence_length.copy(),
+                 b.nnet_target.copy(), b.target_length.copy(), list(b.keys))
+                for b in iterate_batches(batcher, shuffle=True, seed=9)]
+
+    native = collect()
+    monkeypatch.setenv("LSTM_CTC_TPU_NATIVE_LOADER", "0")
+    monkeypatch.setattr(native_loader, "_CHECKED", False)
+    monkeypatch.setattr(native_loader, "_LIB", None)
+    python = collect()
+    assert len(native) == len(python)
+    for (nf, ns, nt, nl, nk), (pf, ps, pt, pl, pk) in zip(native, python):
+        np.testing.assert_array_equal(nf, pf)
+        np.testing.assert_array_equal(ns, ps)
+        np.testing.assert_array_equal(nt, pt)
+        np.testing.assert_array_equal(nl, pl)
+        assert nk == pk
