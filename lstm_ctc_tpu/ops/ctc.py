@@ -52,13 +52,16 @@ def _use_pallas() -> bool:
 
 def _lattice_fits_vmem(batch: int, ext_len: int,
                        budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """The Pallas kernels hold one TIME_BLOCK of lp/out plus the carry in
-    VMEM; very long label sequences (huge 2U+1 lattices) must fall back
-    to the scan path."""
+    """The Pallas kernels hold lp + mask + out TIME_BLOCKs (each double-
+    buffered by the pipeline) plus carry/valid/skip rows in VMEM; large
+    batch × label lattices fall back to the scan path."""
     from .ctc_pallas import TIME_BLOCK
     lanes = -(-ext_len // 128) * 128
     block_bytes = TIME_BLOCK * batch * lanes * 4
-    return 2 * block_bytes + batch * lanes * 4 < budget_bytes
+    mask_bytes = TIME_BLOCK * batch * 128 * 4
+    rows_bytes = batch * lanes * 4
+    total = 2 * (2 * block_bytes + 2 * mask_bytes) + 4 * rows_bytes
+    return total < budget_bytes
 
 
 def _log3sum(a, b, c):
