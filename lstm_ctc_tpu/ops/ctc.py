@@ -50,18 +50,20 @@ def _use_pallas() -> bool:
         return False
 
 
-def _lattice_fits_vmem(batch: int, ext_len: int,
-                       budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """The Pallas kernels hold lp + mask + out TIME_BLOCKs (each double-
-    buffered by the pipeline) plus carry/valid/skip rows in VMEM; large
-    batch × label lattices fall back to the scan path."""
-    from .ctc_pallas import TIME_BLOCK
+def _pallas_time_block(batch: int, ext_len: int,
+                       budget_bytes: int = 12 * 1024 * 1024):
+    """Largest time block whose VMEM footprint — lp + mask + out blocks,
+    each double-buffered by the pipeline, plus carry/valid/skip rows —
+    fits the budget; None → fall back to the scan path."""
     lanes = -(-ext_len // 128) * 128
-    block_bytes = TIME_BLOCK * batch * lanes * 4
-    mask_bytes = TIME_BLOCK * batch * 128 * 4
     rows_bytes = batch * lanes * 4
-    total = 2 * (2 * block_bytes + 2 * mask_bytes) + 4 * rows_bytes
-    return total < budget_bytes
+    for time_block in (64, 32, 16, 8):
+        block_bytes = time_block * batch * lanes * 4
+        mask_bytes = time_block * batch * 128 * 4
+        total = 2 * (2 * block_bytes + 2 * mask_bytes) + 4 * rows_bytes
+        if total < budget_bytes:
+            return time_block
+    return None
 
 
 def _log3sum(a, b, c):
@@ -114,11 +116,14 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    if _use_pallas() and _lattice_fits_vmem(batch, ext.shape[1]):
+    time_block = _pallas_time_block(batch, ext.shape[1]) \
+        if _use_pallas() else None
+    if time_block is not None:
         from .ctc_pallas import alpha_pallas
         interpret = jax.default_backend() == "cpu"
         alpha_all = alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 time_block=time_block)
         alpha_last = alpha_all[-1]
     else:
         def fwd_step(alpha, inputs):
@@ -181,12 +186,15 @@ def _backward(residuals, grad_loss):
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
 
-    if _use_pallas() and _lattice_fits_vmem(batch, ext_len):
+    time_block = _pallas_time_block(batch, ext_len) \
+        if _use_pallas() else None
+    if time_block is not None:
         from .ctc_pallas import beta_pallas
         interpret = jax.default_backend() == "cpu"
         beta_all = beta_pallas(lp_ext, time_mask, is_last, valid,
                                skip_from, final_mask & valid,
-                               interpret=interpret)
+                               interpret=interpret,
+                               time_block=time_block)
     else:
         def bwd_step(beta, inputs):
             lp, alive, last = inputs

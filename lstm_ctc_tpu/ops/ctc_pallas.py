@@ -108,28 +108,29 @@ def _pad_time(x, padded_t):
         [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "time_block"))
 def alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
-                 interpret=False):
+                 interpret=False, time_block=TIME_BLOCK):
     """lp_ext [T,B,S], time_mask [T,B], valid/can_skip [B,S], alpha0 [B,S]
     → alpha_all [T,B,S] (alpha at every step; row 0 == alpha0)."""
     max_t, batch, ext_len = lp_ext.shape
-    padded_t = -(-max_t // TIME_BLOCK) * TIME_BLOCK
+    padded_t = -(-max_t // time_block) * time_block
     lp = _pad_time(lp_ext, padded_t)
     mask = _pad_time(time_mask.astype(jnp.float32), padded_t)[..., None]
     out = pl.pallas_call(
         _alpha_kernel,
-        grid=(padded_t // TIME_BLOCK,),
+        grid=(padded_t // time_block,),
         in_specs=[
-            pl.BlockSpec((TIME_BLOCK, batch, ext_len), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch, ext_len), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TIME_BLOCK, batch, ext_len),
+        out_specs=pl.BlockSpec((time_block, batch, ext_len),
                                lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded_t, batch, ext_len),
@@ -141,32 +142,33 @@ def alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
     return out[:max_t]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "time_block"))
 def beta_pallas(lp_ext, time_mask, is_last, valid, skip_from, final_mask,
-                interpret=False):
+                interpret=False, time_block=TIME_BLOCK):
     """Reverse-time beta' recursion (emission included); returns
     beta_all [T,B,S] in forward time order."""
     max_t, batch, ext_len = lp_ext.shape
-    padded_t = -(-max_t // TIME_BLOCK) * TIME_BLOCK
+    padded_t = -(-max_t // time_block) * time_block
     # reverse time, pad at the (now trailing) start
     lp = _pad_time(lp_ext[::-1], padded_t)
     mask = _pad_time(time_mask[::-1].astype(jnp.float32), padded_t)[..., None]
     last = _pad_time(is_last[::-1].astype(jnp.float32), padded_t)[..., None]
     out = pl.pallas_call(
         _beta_kernel,
-        grid=(padded_t // TIME_BLOCK,),
+        grid=(padded_t // time_block,),
         in_specs=[
-            pl.BlockSpec((TIME_BLOCK, batch, ext_len), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch, ext_len), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TIME_BLOCK, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TIME_BLOCK, batch, ext_len),
+        out_specs=pl.BlockSpec((time_block, batch, ext_len),
                                lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded_t, batch, ext_len),
