@@ -291,3 +291,42 @@ def test_lattice_scale_sweep_changes_nothing_here(tmp_path):
     tra2 = run([os.path.join(FSTBIN, "lattice-best-path"),
                 "ark:" + scaled, "ark,t:-"])
     assert tra1.split()[1:] == tra2.split()[1:]
+
+
+def test_lattice_oracle(tmp_path):
+    """Oracle WER: 0 when the reference is in the lattice, >0 otherwise."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+    seq = []
+    for ph in ["k", "ae", "t"]:
+        seq.extend([unit_id[ph]] * 2 + [0])
+    for ph in ["d", "ao", "g"]:
+        seq.extend([unit_id[ph]] * 2 + [0])
+    mat = np.full((len(seq), len(units) + 1), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--beam=16", "--lattice-beam=10", "--allow-partial=true",
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    words_txt = (lang / "words.txt").read_text().split()
+    id_of = {words_txt[i]: words_txt[i + 1]
+             for i in range(0, len(words_txt), 2)}
+
+    # correct reference "cat dog" → oracle distance 0
+    ref = tmp_path / "ref.txt"
+    ref.write_text("u %s %s\n" % (id_of["cat"], id_of["dog"]))
+    out = run([os.path.join(FSTBIN, "lattice-oracle"),
+               "ark:" + lat_ark, str(ref), "-"])
+    key, dist, ref_len = out.split()
+    assert (key, dist, ref_len) == ("u", "0", "2")
+
+    # wrong reference "dog dog" → at least one error
+    ref.write_text("u %s %s\n" % (id_of["dog"], id_of["dog"]))
+    out = run([os.path.join(FSTBIN, "lattice-oracle"),
+               "ark:" + lat_ark, str(ref), "-"])
+    assert int(out.split()[1]) >= 1
