@@ -99,6 +99,14 @@ if [ -z "$nnet" ]; then
   echo "$nnet"
 fi
 
+# invalidate cached posteriors when the model changed (the reference's
+# bare .done markers silently scored stale posteriors here)
+if [ -e "$dir/forward.done" ] && \
+   [ "$(cat "$dir/forward.done" 2>/dev/null)" != "$nnet" ]; then
+  echo "model changed since last forward; redoing inference"
+  rm -f "$dir/forward.done"
+fi
+
 if [ ! -e "$dir/forward.done" ]; then
   echo "[$(date +'%Y/%m/%d %H:%M:%S')] computing inference for posteriors"
   ( $PYTHON "$BIN/nnet-forward.py" \
@@ -109,7 +117,7 @@ if [ ! -e "$dir/forward.done" ]; then
     $PYTHON "$BIN/copy-feats.py" ark:- \
       "ark,scp:$(readlink -f "$dir")/post.ark,$dir/post.scp" ) \
     2> "$dir/forward.log" || exit 1
-  touch "$dir/forward.done"
+  echo "$nnet" > "$dir/forward.done"
 else
   echo "$dir/forward.done exists, skipping inference"
 fi
