@@ -67,7 +67,9 @@ class InputStream:
                 pass
         if self._process is not None:
             returncode = self._process.wait()
-            if returncode not in (0, -13):  # -13: SIGPIPE from early close
+            # SIGPIPE deaths (-13 direct, 141 through a shell) are the
+            # normal outcome of this consumer closing the pipe early
+            if returncode not in (0, -13, 141):
                 raise KaldiIOError(
                     "input pipe %r exited with status %d"
                     % (self.name, returncode))
