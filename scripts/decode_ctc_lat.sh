@@ -138,6 +138,15 @@ $cmd JOB=1:"$nj" "$dir/log/decode.JOB.log" \
 
 echo "[$(date +'%Y/%m/%d %H:%M:%S')] scoring"
 if ! $skip_scoring; then
-  "$SCRIPT_DIR/score.sh" $scoring_opts --cmd "$cmd" "$data" "$graphdir" "$dir" || exit 1
+  if [ -f "$data/stm" ] && command -v sclite >/dev/null; then
+    # sclite scoring path (reference decode_ctc_lat.sh:176-183)
+    "$SCRIPT_DIR/score_sclite.sh" $scoring_opts --cmd "$cmd" \
+      "$data" "$graphdir" "$dir" || exit 1
+  else
+    [ -f "$data/stm" ] && \
+      echo "$0: stm present but sclite not installed; using score.sh"
+    "$SCRIPT_DIR/score.sh" $scoring_opts --cmd "$cmd" "$data" "$graphdir" \
+      "$dir" || exit 1
+  fi
 fi
 exit 0
