@@ -235,3 +235,73 @@ seed = 3
     # iteration 0 validated the warm-start model (no nnet.0 file created)
     assert not (warm / "nnet.0").exists()
     assert (warm / "nnet.0.done").exists()
+
+
+@pytest.mark.slow
+def test_kill_mid_epoch_resumes_cleanly(tmp_path):
+    """Fault injection: SIGKILL nnet-train mid-epoch; the checkpoint
+    write is atomic (tmp+rename) and the outer loop redoes the epoch on
+    rerun (idempotent .done markers)."""
+    import signal
+    import time
+
+    feats_scp, labels_scp, _ = make_corpus(tmp_path, "tr", 24, 13)
+    cmvn = str(tmp_path / "cmvn.mat")
+    run([sys.executable, os.path.join(REPO, "bin", "compute-cmvn-stats.py"),
+         "scp:" + feats_scp, cmvn])
+    run(["bash", os.path.join(SCRIPTS, "tfrecord.sh"),
+         "--feats-scp", feats_scp, "--trans-scp", labels_scp,
+         "--cmvn-ark", cmvn, "--nj", "1", "--dir", str(tmp_path / "rec")])
+    scp = str(tmp_path / "rec" / "tfrecords.scp")
+
+    config = tmp_path / "nnet.config"
+    config.write_text("""nnet_type = blstm
+input_dim = %d
+left_context = 0
+right_context = 0
+subsample = 0
+num_layers = 1
+num_neurons = 16
+num_projects = 8
+num_targets = %d
+use_peepholes = true
+dropout_rate = 1.0
+num_experts = 0
+seed = 3
+""" % (INPUT_DIM, NUM_CLASSES))
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    run([sys.executable, os.path.join(REPO, "bin", "nnet-init.py"),
+         scp, str(config), str(exp / "nnet.0"),
+         "--objective", "ctc", "--batch-size", "8"])
+    (exp / "nnet.0.done").write_text("cv_loss 10.0\ncv_eval 1.0\n")
+
+    # launch one epoch and kill it while it runs
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bin", "nnet-train.py"),
+         scp, str(config), str(exp / "nnet.0"), str(exp / "nnet.1"),
+         "--objective", "ctc", "--optimizer", "adam",
+         "--learn-rate", "0.004", "--batch-size", "8"],
+        env=sh_env(), cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(4.0)  # inside jax init / first batches
+    proc.kill()
+    proc.wait()
+    # atomicity: either no nnet.1 at all, or only the .tmp leftover —
+    # never a corrupt half-written checkpoint at the final path
+    if (exp / "nnet.1").exists():
+        import numpy as np_  # noqa
+        np.load(str(exp / "nnet.1"))  # must be a valid npz if present
+
+    # the outer loop redoes the epoch and completes
+    run(["bash", os.path.join(SCRIPTS, "train_oplr.sh"),
+         "--tr-tfrecords-scp", scp, "--cv-tfrecords-scp", scp,
+         "--nnet-config", str(config), "--dir", str(exp),
+         "--objective", "ctc", "--optimizer", "adam",
+         "--learn-rate", "0.004", "--max-iter", "2", "--min-iters", "0",
+         "--batch-size", "8", "--cv-goal", "loss"])
+    assert (exp / "nnet.1.done").exists()
+    assert (exp / "nnet.2.done").exists()
+    final = (exp / "final.nnet").read_text().strip()
+    np.load(str(exp / final))
