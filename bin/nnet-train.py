@@ -60,7 +60,6 @@ def main(args):
             train_step, params, opt_state, net_state,
             iterate_batches(batcher, shuffle=args.shuffle, seed=args.seed),
             shard_fn, rng,
-            evaluate=args.evaluate,
             report_interval=args.report_interval,
             metrics_writer=metrics_writer,
         )

@@ -71,8 +71,6 @@ def run_training_epoch(train_step: Callable,
                        batches: Iterable,
                        shard_fn: Callable,
                        rng,
-                       evaluate: bool = False,
-                       eval_step: Optional[Callable] = None,
                        report_interval: Optional[int] = 100,
                        metrics_writer: Optional[MetricsWriter] = None):
     """One training epoch.  Returns (params, opt_state, net_state, stats).
