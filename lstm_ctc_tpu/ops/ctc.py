@@ -28,12 +28,29 @@ through the forward scan (~3× faster end-to-end, measured on v5e).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+_warned_scan_fallback = False
+
+
+def _warn_scan_fallback(batch: int, ext_len: int) -> None:
+    """One-time trace-time notice when a TPU backend falls back to the
+    lax.scan CTC because the [B, 2U+1] lattice blocks exceed the VMEM
+    budget — a silent multi-x slowdown otherwise."""
+    global _warned_scan_fallback
+    if not _warned_scan_fallback:
+        _warned_scan_fallback = True
+        warnings.warn(
+            "ctc_loss: lattice [B=%d, S=%d] exceeds the Pallas VMEM "
+            "budget even at the smallest time block; using the lax.scan "
+            "fallback. Reduce the batch or max label length to stay on "
+            "the Pallas path." % (batch, ext_len), stacklevel=3)
 
 
 def _use_pallas() -> bool:
@@ -50,19 +67,24 @@ def _use_pallas() -> bool:
         return False
 
 
-def _pallas_time_block(batch: int, ext_len: int,
-                       budget_bytes: int = 12 * 1024 * 1024):
-    """Largest time block whose VMEM footprint — lp + mask + out blocks,
-    each double-buffered by the pipeline, plus carry/valid/skip rows —
-    fits the budget; None → fall back to the scan path."""
+def _pallas_blocks(batch: int, ext_len: int,
+                   budget_bytes: int = 12 * 1024 * 1024):
+    """(batch_block, time_block) whose VMEM footprint — lp + mask + out
+    blocks, each double-buffered by the pipeline, plus carry/valid/skip
+    rows — fits the budget; None → fall back to the scan path.
+
+    Prefers the largest batch block (fewer full passes over the time
+    axis), then the largest time block (fewer grid steps)."""
     lanes = -(-ext_len // 128) * 128
-    rows_bytes = batch * lanes * 4
-    for time_block in (64, 32, 16, 8):
-        block_bytes = time_block * batch * lanes * 4
-        mask_bytes = time_block * batch * 128 * 4
-        total = 2 * (2 * block_bytes + 2 * mask_bytes) + 4 * rows_bytes
-        if total < budget_bytes:
-            return time_block
+    batch_candidates = [b for b in (batch, 64, 32, 16, 8) if b <= batch]
+    for batch_block in batch_candidates:
+        rows_bytes = batch_block * lanes * 4
+        for time_block in (64, 32, 16, 8):
+            block_bytes = time_block * batch_block * lanes * 4
+            mask_bytes = time_block * batch_block * 128 * 4
+            total = 2 * (2 * block_bytes + 2 * mask_bytes) + 4 * rows_bytes
+            if total < budget_bytes:
+                return batch_block, time_block
     return None
 
 
@@ -116,14 +138,18 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    time_block = _pallas_time_block(batch, ext.shape[1]) \
-        if _use_pallas() else None
-    if time_block is not None:
+    use_pallas = _use_pallas()
+    blocks = _pallas_blocks(batch, ext.shape[1]) if use_pallas else None
+    if use_pallas and blocks is None:
+        _warn_scan_fallback(batch, ext.shape[1])
+    if blocks is not None:
         from .ctc_pallas import alpha_pallas
+        batch_block, time_block = blocks
         interpret = jax.default_backend() == "cpu"
         alpha_all = alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
                                  interpret=interpret,
-                                 time_block=time_block)
+                                 time_block=time_block,
+                                 batch_block=batch_block)
         alpha_last = alpha_all[-1]
     else:
         def fwd_step(alpha, inputs):
@@ -186,15 +212,16 @@ def _backward(residuals, grad_loss):
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
 
-    time_block = _pallas_time_block(batch, ext_len) \
-        if _use_pallas() else None
-    if time_block is not None:
+    blocks = _pallas_blocks(batch, ext_len) if _use_pallas() else None
+    if blocks is not None:
         from .ctc_pallas import beta_pallas
+        batch_block, time_block = blocks
         interpret = jax.default_backend() == "cpu"
         beta_all = beta_pallas(lp_ext, time_mask, is_last, valid,
                                skip_from, final_mask & valid,
                                interpret=interpret,
-                               time_block=time_block)
+                               time_block=time_block,
+                               batch_block=batch_block)
     else:
         def bwd_step(beta, inputs):
             lp, alive, last = inputs

@@ -45,8 +45,12 @@ def _shift_left(x, amount):
 
 def _alpha_kernel(lp_ref, mask_ref, valid_ref, skip_ref, init_ref,
                   alpha_out_ref, carry_ref):
-    """One TIME_BLOCK of the alpha recursion; carry_ref holds alpha."""
-    blk = pl.program_id(0)
+    """One (batch block, time block) tile of the alpha recursion.
+
+    Grid is (batch blocks, time blocks) with time innermost: each batch
+    block runs its full time recursion sequentially with the carry in
+    scratch, re-initialized when the time index wraps to 0."""
+    blk = pl.program_id(1)
 
     @pl.when(blk == 0)
     def _():
@@ -56,7 +60,7 @@ def _alpha_kernel(lp_ref, mask_ref, valid_ref, skip_ref, init_ref,
     can_skip = skip_ref[:] > 0.5
 
     def body(tt, alpha):
-        # global step index: blk*TIME_BLOCK + tt; step 0 is the init row
+        # global step index: blk*time_block + tt; step 0 is the init row
         is_first = jnp.logical_and(blk == 0, tt == 0)
         summed = _log3(alpha, _shift_right(alpha, 1),
                        jnp.where(can_skip, _shift_right(alpha, 2),
@@ -73,8 +77,9 @@ def _alpha_kernel(lp_ref, mask_ref, valid_ref, skip_ref, init_ref,
 
 def _beta_kernel(lp_ref, mask_ref, islast_ref, valid_ref, skipfrom_ref,
                  final_ref, beta_out_ref, carry_ref):
-    """One TIME_BLOCK of the beta recursion over time-reversed inputs."""
-    blk = pl.program_id(0)
+    """One (batch block, time block) tile of the beta recursion over
+    time-reversed inputs; same grid layout as ``_alpha_kernel``."""
+    blk = pl.program_id(1)
 
     @pl.when(blk == 0)
     def _():
@@ -100,81 +105,110 @@ def _beta_kernel(lp_ref, mask_ref, islast_ref, valid_ref, skipfrom_ref,
     carry_ref[:] = jax.lax.fori_loop(0, lp_ref.shape[0], body, carry_ref[:])
 
 
-def _pad_time(x, padded_t):
-    pad = padded_t - x.shape[0]
+def _pad_axis(x, padded, axis):
+    pad = padded - x.shape[axis]
     if pad == 0:
         return x
-    return jnp.concatenate(
-        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    shape = list(x.shape)
+    shape[axis] = pad
+    return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis=axis)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "time_block"))
+                   static_argnames=("interpret", "time_block",
+                                    "batch_block"))
 def alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
-                 interpret=False, time_block=TIME_BLOCK):
+                 interpret=False, time_block=TIME_BLOCK,
+                 batch_block=None):
     """lp_ext [T,B,S], time_mask [T,B], valid/can_skip [B,S], alpha0 [B,S]
-    → alpha_all [T,B,S] (alpha at every step; row 0 == alpha0)."""
+    → alpha_all [T,B,S] (alpha at every step; row 0 == alpha0).
+
+    ``batch_block`` tiles the batch axis so large-B lattices still fit
+    VMEM; padded rows carry valid=0 and are sliced away."""
     max_t, batch, ext_len = lp_ext.shape
+    if batch_block is None or batch_block > batch:
+        batch_block = batch
     padded_t = -(-max_t // time_block) * time_block
-    lp = _pad_time(lp_ext, padded_t)
-    mask = _pad_time(time_mask.astype(jnp.float32), padded_t)[..., None]
+    padded_b = -(-batch // batch_block) * batch_block
+    lp = _pad_axis(_pad_axis(lp_ext, padded_t, 0), padded_b, 1)
+    mask = _pad_axis(_pad_axis(time_mask.astype(jnp.float32), padded_t, 0),
+                     padded_b, 1)[..., None]
+    valid_f = _pad_axis(valid.astype(jnp.float32), padded_b, 0)
+    skip_f = _pad_axis(can_skip.astype(jnp.float32), padded_b, 0)
+    alpha0_p = _pad_axis(alpha0, padded_b, 0)
     out = pl.pallas_call(
         _alpha_kernel,
-        grid=(padded_t // time_block,),
+        grid=(padded_b // batch_block, padded_t // time_block),
         in_specs=[
-            pl.BlockSpec((time_block, batch, ext_len), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch_block, ext_len),
+                         lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, batch_block, 1),
+                         lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_block, batch, ext_len),
-                               lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((time_block, batch_block, ext_len),
+                               lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_t, batch, ext_len),
+        out_shape=jax.ShapeDtypeStruct((padded_t, padded_b, ext_len),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((batch, ext_len), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((batch_block, ext_len), jnp.float32)],
         interpret=interpret,
-    )(lp, mask, valid.astype(jnp.float32), can_skip.astype(jnp.float32),
-      alpha0)
-    return out[:max_t]
+    )(lp, mask, valid_f, skip_f, alpha0_p)
+    return out[:max_t, :batch]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "time_block"))
+                   static_argnames=("interpret", "time_block",
+                                    "batch_block"))
 def beta_pallas(lp_ext, time_mask, is_last, valid, skip_from, final_mask,
-                interpret=False, time_block=TIME_BLOCK):
+                interpret=False, time_block=TIME_BLOCK,
+                batch_block=None):
     """Reverse-time beta' recursion (emission included); returns
     beta_all [T,B,S] in forward time order."""
     max_t, batch, ext_len = lp_ext.shape
+    if batch_block is None or batch_block > batch:
+        batch_block = batch
     padded_t = -(-max_t // time_block) * time_block
+    padded_b = -(-batch // batch_block) * batch_block
     # reverse time, pad at the (now trailing) start
-    lp = _pad_time(lp_ext[::-1], padded_t)
-    mask = _pad_time(time_mask[::-1].astype(jnp.float32), padded_t)[..., None]
-    last = _pad_time(is_last[::-1].astype(jnp.float32), padded_t)[..., None]
+    lp = _pad_axis(_pad_axis(lp_ext[::-1], padded_t, 0), padded_b, 1)
+    mask = _pad_axis(
+        _pad_axis(time_mask[::-1].astype(jnp.float32), padded_t, 0),
+        padded_b, 1)[..., None]
+    last = _pad_axis(
+        _pad_axis(is_last[::-1].astype(jnp.float32), padded_t, 0),
+        padded_b, 1)[..., None]
+    valid_f = _pad_axis(valid.astype(jnp.float32), padded_b, 0)
+    skipf_f = _pad_axis(skip_from.astype(jnp.float32), padded_b, 0)
+    final_f = _pad_axis(final_mask.astype(jnp.float32), padded_b, 0)
     out = pl.pallas_call(
         _beta_kernel,
-        grid=(padded_t // time_block,),
+        grid=(padded_b // batch_block, padded_t // time_block),
         in_specs=[
-            pl.BlockSpec((time_block, batch, ext_len), lambda t: (t, 0, 0),
+            pl.BlockSpec((time_block, batch_block, ext_len),
+                         lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, batch_block, 1),
+                         lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, batch_block, 1),
+                         lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_block, batch, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((batch_block, ext_len), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_block, batch, ext_len),
-                               lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((time_block, batch_block, ext_len),
+                               lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded_t, batch, ext_len),
+        out_shape=jax.ShapeDtypeStruct((padded_t, padded_b, ext_len),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((batch, ext_len), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((batch_block, ext_len), jnp.float32)],
         interpret=interpret,
-    )(lp, mask, last, valid.astype(jnp.float32),
-      skip_from.astype(jnp.float32), final_mask.astype(jnp.float32))
-    return out[:max_t][::-1]
+    )(lp, mask, last, valid_f, skipf_f, final_f)
+    return out[:max_t, :batch][::-1]
