@@ -13,12 +13,27 @@ straight onto the MXU; the gate mix is a batched contraction fused around it.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 from .cells import dropout, truncated_normal
+
+
+def _use_fused() -> bool:
+    """Fused Pallas expert mix on real TPUs; plain XLA elsewhere (and
+    under LSTM_CTC_TPU_MOE_IMPL=xla for A/B comparisons)."""
+    impl = os.environ.get("LSTM_CTC_TPU_MOE_IMPL", "auto")
+    if impl == "xla":
+        return False
+    if impl == "fused":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
 
 
 def init_moe(rng, output_dim: int, num_targets: int, num_experts: int) -> Dict:
@@ -40,13 +55,36 @@ def apply_moe(params: Dict,
               keep_prob: float = 1.0,
               dropout_rng=None) -> jnp.ndarray:
     """x: [N, output_dim] → mixed logits [N, num_targets]."""
+    from ..ops.moe_pallas import fused_eligible, moe_mix_fused
+
     gate_logits = x @ params["w_prior"] + params["b_prior"]      # [N, E]
     gate = jax.nn.softmax(gate_logits, axis=-1)
+    use_dropout = keep_prob < 1.0 and dropout_rng is not None
+    if use_dropout:
+        k_gate, k_expert = jax.random.split(dropout_rng)
+        gate = dropout(k_gate, gate, keep_prob)
+
+    num_targets = params["w_expert"].shape[1] // num_experts
+    if _use_fused() and fused_eligible(x.shape[1], num_targets):
+        # gate (softmax + its dropout, tiny) stays in XLA above; only the
+        # [N, E·V] expert tile is fused.  Expert dropout inside the kernel
+        # is hash-based (same keep-prob semantics, different stream).
+        backend = jax.default_backend()
+        seed = jax.random.randint(
+            k_expert, (1,), -2 ** 31, 2 ** 31 - 1,
+            dtype=jnp.int32) if use_dropout else None
+        return moe_mix_fused(
+            x, params["w_expert"], params["b_expert"], gate,
+            num_experts, moe_temperature,
+            keep_prob=keep_prob if use_dropout else 1.0,
+            seed=seed,
+            compute_dtype=jnp.float32 if backend == "cpu"
+            else jnp.bfloat16,
+            interpret=backend == "cpu")
+
     expert = moe_temperature * jnp.tanh(
         x @ params["w_expert"] + params["b_expert"])             # [N, E·V]
     expert = expert.reshape(x.shape[0], num_experts, -1)         # [N, E, V]
-    if keep_prob < 1.0 and dropout_rng is not None:
-        k_gate, k_expert = jax.random.split(dropout_rng)
-        gate = dropout(k_gate, gate, keep_prob)
+    if use_dropout:
         expert = dropout(k_expert, expert, keep_prob)
     return jnp.einsum("ne,nev->nv", gate, expert)

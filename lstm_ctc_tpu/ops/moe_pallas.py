@@ -1,0 +1,350 @@
+"""Fused Pallas TPU kernel for the mixture-of-softmaxes expert mix.
+
+The XLA path of the MoE head (reference nnet/moe.py:29-72 semantics;
+models/moe.py here) materializes the ``[N, E·V]`` expert-logit tensor in
+HBM three times per training step (forward write, backward read, plus the
+gate-mix einsum that XLA lowers to an MXU-hostile M=1 batched matmul).
+For the flagship WSJ config that tensor is ~85 MB — the single largest
+known perf item of round 1 (docs/BENCHMARKS.md: MoE head ≈ 4 ms/step).
+
+This kernel keeps the expert block entirely in VMEM:
+
+  out[n, v] = sum_e gate[n, e] * drop(tau * tanh(x[n] @ W_e + b_e))[v]
+
+computed over a (row blocks, expert blocks) grid; per grid step one
+``[Nb, D] x [D, Eb·V]`` MXU matmul produces the expert tile, tanh + the
+dropout mask + the gate weighting happen on the VPU, and a second small
+matmul folds the tile into the ``[Nb, V]`` accumulator — only the mixed
+logits ever reach HBM.
+
+Expert segments are handled without lane-dim reshapes via two constant
+0/1 matrices: ``R [Eb, Eb·V]`` repeats each gate column across its
+expert's V-segment, ``S [Eb·V, V]`` folds segments onto output classes
+(~11% extra MXU work for the flagship shape — far cheaper than the HBM
+round trips it replaces).
+
+The gate itself (softmax + gate dropout, tiny ``[N, E]``) stays in XLA so
+its backward comes from autodiff; the kernel's custom VJP covers x,
+w_expert, b_expert and the gate input.  Expert dropout uses a
+counter-based hash (murmur3 finalizer) seeded per element from a scalar —
+bitwise-identical between the forward and backward kernels, on TPU and in
+interpret mode (``pltpu.prng_*`` has no CPU interpret lowering), and
+reproducible in pure JAX for the parity tests.
+
+Matmuls run in ``compute_dtype`` (bfloat16 on TPU) with float32
+accumulation; x is loaded in float32 and cast in-kernel so its gradient
+stays float32.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_BLOCK = 256          # rows per grid step
+MAX_COLS_BLOCK = 4096  # Eb·V ceiling (VMEM guard)
+
+
+def hash_uniform(seed, row0, col0, nrows, ncols):
+    """Deterministic counter-based uniforms in [0, 1): murmur3 finalizer
+    over (global row, global col, seed).  Pure jnp — identical inside
+    Pallas kernels (TPU or interpret) and in plain XLA."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (nrows, ncols), 0) \
+        + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (nrows, ncols), 1) \
+        + jnp.uint32(col0)
+    x = (rows * jnp.uint32(0x9E3779B1)
+         + cols * jnp.uint32(0x85EBCA77)
+         + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x >> 9).astype(jnp.float32) * jnp.float32(1.0 / (1 << 23))
+
+
+def expert_block_size(num_targets: int) -> int:
+    """Smallest expert-block width whose column count Eb·V is a multiple
+    of the 128-lane tile (keeps every block MXU-aligned)."""
+    return 128 // math.gcd(num_targets, 128)
+
+
+def fused_eligible(input_dim: int, num_targets: int) -> bool:
+    eb = expert_block_size(num_targets)
+    return eb * num_targets <= MAX_COLS_BLOCK and input_dim <= 4096
+
+
+def _segment_matrices(ep: int, eb: int, v: int):
+    """R [Ep, Ep·V] gate-repeat and S [Eb·V, V] fold constants.
+
+    R is consumed in ``[Ep, Eb·V]`` column blocks: block e has ones only
+    in rows [e·Eb, (e+1)·Eb), so ``gate_full @ R_block`` both repeats the
+    block's gate columns across their V-segments and masks out every
+    other expert — no sub-128-lane gate blocks needed (Mosaic requires
+    the minor block dim to be 128-divisible or full)."""
+    cols = np.arange(ep * v)
+    r = (cols[None, :] // v == np.arange(ep)[:, None]).astype(np.float32)
+    cols_b = np.arange(eb * v)
+    s = (cols_b[:, None] % v == np.arange(v)[None, :]).astype(np.float32)
+    # plain numpy, NOT jnp: the factory below is lru_cached and may first
+    # run inside a jit trace — jnp ops there would bake leaked tracers
+    # into the cached closure
+    return r, s
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
+                tau: float, keep_prob: float, compute_dtype_name: str,
+                n_block: int, interpret: bool):
+    """Builds the custom-VJP fused mix for one static configuration.
+
+    Operates on PADDED arrays: x [Np, D] (Np % n_block == 0), w [D, Ep·V],
+    b [1, Ep·V], gate [Np, Ep] (Ep % Eb == 0), seed [1] int32.  Padding /
+    unpadding lives outside the VJP boundary so its adjoints come free.
+    """
+    d = input_dim
+    v = num_targets
+    ep = num_experts_padded
+    eb = expert_block_size(v)
+    cb = eb * v
+    cp = ep * v
+    cdt = jnp.dtype(compute_dtype_name)
+    dropout = keep_prob < 1.0
+    inv_kp = 1.0 / keep_prob
+
+    def _mask(seed, nblk, eblk):
+        u = hash_uniform(seed[0], nblk * n_block, eblk * cb, n_block, cb)
+        return (u < keep_prob).astype(jnp.float32) * inv_kp
+
+    def _expert_tile(x_ref, w_ref, b_ref, seed_ref, nblk, eblk):
+        """a' [Nb, Cb] = dropped tau*tanh(x @ W_blk + b_blk), plus th."""
+        z = jax.lax.dot_general(
+            x_ref[:].astype(cdt), w_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b_ref[:]
+        th = jnp.tanh(z)
+        a = tau * th
+        if dropout:
+            a = a * _mask(seed_ref, nblk, eblk)
+        return a, th
+
+    def _fwd_kernel(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
+                    out_ref):
+        eblk = pl.program_id(1)
+
+        @pl.when(eblk == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        a, _ = _expert_tile(x_ref, w_ref, b_ref, seed_ref,
+                            pl.program_id(0), eblk)
+        grep = jax.lax.dot_general(          # [Nb, Ep] @ [Ep, Cb] R-block
+            gate_ref[:].astype(cdt), r_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] += jax.lax.dot_general(   # fold segments → classes
+            (a * grep).astype(cdt), s_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def _bwd_kernel(seed_ref, x_ref, w_ref, b_ref, gate_ref, gout_ref,
+                    r_ref, s_ref, dx_ref, dgate_ref, dz_ref):
+        nblk = pl.program_id(0)
+        eblk = pl.program_id(1)
+
+        @pl.when(eblk == 0)
+        def _():
+            dx_ref[:] = jnp.zeros_like(dx_ref)
+            dgate_ref[:] = jnp.zeros_like(dgate_ref)
+
+        a, th = _expert_tile(x_ref, w_ref, b_ref, seed_ref, nblk, eblk)
+        # q[n, c] = gout[n, class(c)]  (broadcast into segments)
+        q = jax.lax.dot_general(
+            gout_ref[:].astype(cdt), s_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dgate[n, e] += sum_{c in segment e} q * a'  (the R block zeroes
+        # every expert outside this e-block, so += lands only there)
+        dgate_ref[:] += jax.lax.dot_general(
+            (q * a).astype(cdt), r_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        grep = jax.lax.dot_general(
+            gate_ref[:].astype(cdt), r_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz = grep * q * (tau * (1.0 - th * th))
+        if dropout:
+            dz = dz * _mask(seed_ref, nblk, eblk)
+        dz_ref[:] = dz.astype(dz_ref.dtype)
+        dx_ref[:] += jax.lax.dot_general(    # [Nb, Cb] @ [D, Cb]^T
+            dz.astype(cdt), w_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    r_mat, s_mat = _segment_matrices(ep, eb, v)
+    r_mat = r_mat.astype(cdt)          # numpy cast (ml_dtypes bfloat16)
+    s_mat = s_mat.astype(cdt)
+
+    def _pallas_fwd(x, w, b, gate, seed):
+        np_ = x.shape[0]
+        grid = (np_ // n_block, ep // eb)
+        return pl.pallas_call(
+            _fwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, v), jnp.float32),
+            interpret=interpret,
+        )(seed, x, w, b, gate, r_mat, s_mat)
+
+    def _pallas_bwd(x, w, b, gate, seed, gout):
+        np_ = x.shape[0]
+        grid = (np_ // n_block, ep // eb)
+        return pl.pallas_call(
+            _bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((np_, d), jnp.float32),
+                jax.ShapeDtypeStruct((np_, ep), jnp.float32),
+                jax.ShapeDtypeStruct((np_, cp), cdt),
+            ],
+            interpret=interpret,
+        )(seed, x, w, b, gate, gout, r_mat, s_mat)
+
+    @jax.custom_vjp
+    def fused(x, w, b, gate, seed):
+        return _pallas_fwd(x, w, b, gate, seed)
+
+    def fused_fwd(x, w, b, gate, seed):
+        return _pallas_fwd(x, w, b, gate, seed), (x, w, b, gate, seed)
+
+    def fused_bwd(res, gout):
+        x, w, b, gate, seed = res
+        dx, dgate, dz = _pallas_bwd(x, w, b, gate, seed, gout)
+        # weight/bias grads: plain MXU matmul over the emitted dz —
+        # cheaper in XLA than a third kernel pass
+        dw = jax.lax.dot_general(
+            x.astype(cdt), dz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        return dx, dw.astype(w.dtype), db, dgate, None
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def moe_mix_fused(x: jnp.ndarray,
+                  w_expert: jnp.ndarray,
+                  b_expert: jnp.ndarray,
+                  gate: jnp.ndarray,
+                  num_experts: int,
+                  moe_temperature: float,
+                  keep_prob: float = 1.0,
+                  seed=None,
+                  compute_dtype=jnp.bfloat16,
+                  n_block: int = N_BLOCK,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Mixed logits [N, V] = sum_e gate[:, e] * drop(tau tanh(x W_e + b_e)).
+
+    x [N, D] float32, w_expert [D, E·V], b_expert [E·V], gate [N, E]
+    (already softmaxed and gate-dropped).  ``seed`` (int32 scalar/[1])
+    drives the expert-logit dropout when keep_prob < 1.
+    """
+    n, d = x.shape
+    v = w_expert.shape[1] // num_experts
+    eb = expert_block_size(v)
+    ep = -(-num_experts // eb) * eb
+    np_rows = -(-n // n_block) * n_block
+
+    w = w_expert.reshape(d, num_experts, v)
+    w = jnp.pad(w, ((0, 0), (0, ep - num_experts), (0, 0)))
+    w = w.reshape(d, ep * v).astype(compute_dtype)
+    b = b_expert.reshape(1, num_experts, v)
+    b = jnp.pad(b, ((0, 0), (0, ep - num_experts), (0, 0)))
+    b = b.reshape(1, ep * v).astype(jnp.float32)
+    gate_p = jnp.pad(gate.astype(jnp.float32),
+                     ((0, np_rows - n), (0, ep - num_experts)))
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, np_rows - n), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+
+    fused = _make_fused(d, v, ep, float(moe_temperature), float(keep_prob),
+                        jnp.dtype(compute_dtype).name, n_block,
+                        bool(interpret))
+    out = fused(x_p, w, b, gate_p, seed)
+    return out[:n]
+
+
+def moe_mix_reference(x, w_expert, b_expert, gate, num_experts,
+                      moe_temperature, keep_prob=1.0, seed=None,
+                      n_block: int = N_BLOCK):
+    """Pure-JAX mirror of the fused kernel INCLUDING its hash-based expert
+    dropout (same padded global indices) — the test oracle for kp < 1."""
+    n, d = x.shape
+    v = w_expert.shape[1] // num_experts
+    eb = expert_block_size(v)
+    ep = -(-num_experts // eb) * eb
+    np_rows = -(-n // n_block) * n_block
+
+    w = w_expert.reshape(d, num_experts, v)
+    w = jnp.pad(w, ((0, 0), (0, ep - num_experts), (0, 0)))
+    w = w.reshape(d, ep * v)
+    b = b_expert.reshape(num_experts, v)
+    b = jnp.pad(b, ((0, ep - num_experts), (0, 0))).reshape(ep * v)
+    gate_p = jnp.pad(gate, ((0, 0), (0, ep - num_experts)))
+
+    a = moe_temperature * jnp.tanh(x @ w + b[None, :])     # [N, Ep·V]
+    if keep_prob < 1.0:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+        u = hash_uniform(seed[0], 0, 0, np_rows, ep * v)[:n]
+        a = a * (u < keep_prob).astype(jnp.float32) / keep_prob
+    a = a.reshape(n, ep, v)
+    return jnp.einsum("ne,nev->nv", gate_p, a)
