@@ -13,6 +13,11 @@
 // absent from the current history state — the same semantics as Kaldi's
 // deterministic-on-demand ARPA wrapper, so arbitrarily large ARPA-derived
 // G.fsts work without determinization.
+//
+// The LM argument may also be a const-arpa file (arpa-to-const-arpa) —
+// the mmap-able packed-trie form for tglarge/fglarge-class LMs that are
+// too big to hold as FSTs (Kaldi ConstArpaLm / lmrescore_const_arpa.sh
+// equivalent); detected by magic, same rescoring semantics.
 
 #include <algorithm>
 #include <cstring>
@@ -24,6 +29,7 @@
 #include <unordered_map>
 #include <vector>
 
+#include "const_arpa.h"
 #include "fst.h"
 #include "kaldi_io.h"
 #include "lattice.h"
@@ -36,8 +42,8 @@ constexpr float kInf = std::numeric_limits<float>::infinity();
 
 // follow backoff arcs until `word` is found; returns (cost, next_state)
 // or cost=inf when the word is not in the LM at all.
-std::pair<float, StateId> LookupWord(const Fst& g, StateId state,
-                                     Label word) {
+std::pair<float, StateId> FstLookupWord(const Fst& g, StateId state,
+                                        Label word) {
   float backoff_cost = 0.0f;
   for (int depth = 0; depth < 64; ++depth) {
     const auto& arcs = g.ArcsAt(state);
@@ -60,7 +66,7 @@ std::pair<float, StateId> LookupWord(const Fst& g, StateId state,
   return {kInf, kNoState};
 }
 
-float FinalCost(const Fst& g, StateId state) {
+float FstFinalCost(const Fst& g, StateId state) {
   float backoff_cost = 0.0f;
   for (int depth = 0; depth < 64; ++depth) {
     if (g.IsFinal(state)) return backoff_cost + g.Final(state);
@@ -75,18 +81,36 @@ float FinalCost(const Fst& g, StateId state) {
   return kInf;
 }
 
+// Fst with the deterministic-on-demand LM interface that Rescore<>
+// expects (ConstArpaLm provides the same three methods natively).
+class FstLm {
+ public:
+  explicit FstLm(Fst g) : g_(std::move(g)) { g_.SortArcsByInput(); }
+  StateId Start() const { return g_.Start(); }
+  std::pair<float, StateId> LookupWord(StateId state, Label word) const {
+    return FstLookupWord(g_, state, word);
+  }
+  float FinalCost(StateId state) const {
+    return FstFinalCost(g_, state);
+  }
+
+ private:
+  Fst g_;
+};
+
 struct PairHash {
-  size_t operator()(const std::pair<int32_t, StateId>& p) const {
+  size_t operator()(const std::pair<int32_t, int32_t>& p) const {
     return p.first * 2654435761u ^ p.second;
   }
 };
 
-bool Rescore(const Lattice& in, const Fst& g, float lm_scale,
+template <class LM>
+bool Rescore(const Lattice& in, const LM& lm, float lm_scale,
              Lattice* out) {
-  using Key = std::pair<int32_t, StateId>;
+  using Key = std::pair<int32_t, int32_t>;
   std::unordered_map<Key, int32_t, PairHash> index;
   std::vector<Key> order;
-  auto state_of = [&](int32_t ls, StateId gs) {
+  auto state_of = [&](int32_t ls, int32_t gs) {
     Key key{ls, gs};
     auto it = index.find(key);
     if (it != index.end()) return it->second;
@@ -95,13 +119,13 @@ bool Rescore(const Lattice& in, const Fst& g, float lm_scale,
     order.push_back(key);
     return s;
   };
-  if (in.Start() < 0 || g.Start() == kNoState) return false;
-  out->SetStart(state_of(in.Start(), g.Start()));
+  if (in.Start() < 0 || lm.Start() == kNoState) return false;
+  out->SetStart(state_of(in.Start(), lm.Start()));
   for (size_t done = 0; done < order.size(); ++done) {
     auto [ls, gs] = order[done];
     int32_t s = index[order[done]];
     if (in.Final(ls).is_final) {
-      float fcost = FinalCost(g, gs);
+      float fcost = lm.FinalCost(gs);
       if (fcost != kInf) {
         out->SetFinal(s, in.Final(ls).graph_cost + lm_scale * fcost,
                       in.Final(ls).acoustic_cost);
@@ -109,9 +133,9 @@ bool Rescore(const Lattice& in, const Fst& g, float lm_scale,
     }
     for (const LatticeArc& arc : in.ArcsAt(ls)) {
       LatticeArc na = arc;
-      StateId next_gs = gs;
+      int32_t next_gs = gs;
       if (arc.olabel != 0) {
-        auto [cost, ns] = LookupWord(g, gs, arc.olabel);
+        auto [cost, ns] = lm.LookupWord(gs, arc.olabel);
         if (cost == kInf) continue;  // word not in LM: prune the path
         na.graph_cost += lm_scale * cost;
         next_gs = ns;
@@ -121,6 +145,29 @@ bool Rescore(const Lattice& in, const Fst& g, float lm_scale,
     }
   }
   return true;
+}
+
+template <class LM>
+int RunRescore(const std::string& rspec, const LM& lm, float lm_scale,
+               const std::string& wspec) {
+  ByteSource src(StripArkPrefix(rspec));
+  ArchiveWriter writer(wspec);
+  std::string key;
+  Lattice lat;
+  int done = 0, failed = 0;
+  while (Lattice::Read(&src, &key, &lat)) {
+    Lattice rescored;
+    if (Rescore(lat, lm, lm_scale, &rescored)) {
+      writer.BeginEntry(key);
+      rescored.Write(writer.sink());
+      ++done;
+    } else {
+      std::cerr << "lattice-lmrescore: failed for " << key << "\n";
+      ++failed;
+    }
+  }
+  std::cerr << "lattice-lmrescore: rescored " << done << " lattices\n";
+  return (failed > 0 && done == 0) ? 1 : 0;
 }
 
 }  // namespace
@@ -145,32 +192,18 @@ int main(int argc, char** argv) {
     return 1;
   }
   try {
+    if (ConstArpaLm::IsCarpaFile(args[1])) {
+      ConstArpaLm lm = ConstArpaLm::Read(args[1]);
+      return RunRescore(args[0], lm, lm_scale, args[2]);
+    }
     std::ifstream gfh(args[1], std::ios::binary);
     if (!gfh) {
       std::cerr << "cannot open " << args[1] << "\n";
       return 1;
     }
     Fst g = (gfh.peek() == 'L') ? Fst::Read(gfh) : Fst::ReadText(gfh);
-    g.SortArcsByInput();
-
-    ByteSource src(StripArkPrefix(args[0]));
-    ArchiveWriter writer(args[2]);
-    std::string key;
-    Lattice lat;
-    int done = 0, failed = 0;
-    while (Lattice::Read(&src, &key, &lat)) {
-      Lattice rescored;
-      if (Rescore(lat, g, lm_scale, &rescored)) {
-        writer.BeginEntry(key);
-        rescored.Write(writer.sink());
-        ++done;
-      } else {
-        std::cerr << "lattice-lmrescore: failed for " << key << "\n";
-        ++failed;
-      }
-    }
-    std::cerr << "lattice-lmrescore: rescored " << done << " lattices\n";
-    return (failed > 0 && done == 0) ? 1 : 0;
+    FstLm lm(std::move(g));
+    return RunRescore(args[0], lm, lm_scale, args[2]);
   } catch (const std::exception& e) {
     std::cerr << "lattice-lmrescore: " << e.what() << "\n";
     return 1;

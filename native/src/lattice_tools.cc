@@ -3,8 +3,11 @@
 // Dispatch by argv[0] (symlinks) or first argument.
 //
 //   lattice-scale --acoustic-scale=K [--ascale-factor=F] <in> <out>
-//   lattice-best-path [--word-symbol-table=f] <in> <out-text>
-//       output: "key w1 w2 ...\n" integer text (pipe through int2sym.pl)
+//   lattice-best-path [--word-symbol-table=f] [--write-costs=f] <in>
+//       <out-text>
+//       output: "key w1 w2 ...\n" integer text (pipe through int2sym.pl);
+//       --write-costs emits "key total_cost\n" per utterance (used by the
+//       const-arpa vs G.fst rescoring equivalence tests)
 
 #include <cstring>
 #include <fstream>
@@ -38,6 +41,7 @@ int main(int argc, char** argv) {
 
   float acoustic_scale = 1.0f;
   float ascale_factor = 1.0f;
+  std::string costs_file;
   std::vector<std::string> args;
   for (int i = arg_start; i < argc; ++i) {
     std::string arg = argv[i];
@@ -45,6 +49,8 @@ int main(int argc, char** argv) {
       acoustic_scale = atof(arg.c_str() + 17);
     } else if (arg.rfind("--ascale-factor=", 0) == 0) {
       ascale_factor = atof(arg.c_str() + 16);
+    } else if (arg.rfind("--write-costs=", 0) == 0) {
+      costs_file = arg.substr(14);
     } else if (arg.rfind("--word-symbol-table=", 0) == 0) {
       // accepted for CLI parity; output stays integer text
     } else if (arg.rfind("--", 0) == 0) {
@@ -71,12 +77,16 @@ int main(int argc, char** argv) {
       }
     } else if (cmd == "lattice-best-path") {
       ByteSink sink(StripArkPrefix(args[1]));
+      std::ofstream costs;
+      if (!costs_file.empty()) costs.open(costs_file);
       while (Lattice::Read(&src, &key, &lat)) {
-        std::vector<int32_t> words = lat.BestPath();
+        float total_cost = 0.0f;
+        std::vector<int32_t> words = lat.BestPath(nullptr, &total_cost);
         std::string line = key;
         for (int32_t w : words) line += " " + std::to_string(w);
         line += "\n";
         sink.Write(line.data(), line.size());
+        if (costs.is_open()) costs << key << " " << total_cost << "\n";
       }
     } else {
       std::cerr << "unknown lattice tool " << cmd << "\n";

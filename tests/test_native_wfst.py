@@ -330,3 +330,160 @@ def test_lattice_oracle(tmp_path):
     out = run([os.path.join(FSTBIN, "lattice-oracle"),
                "ark:" + lat_ark, str(ref), "-"])
     assert int(out.split()[1]) >= 1
+
+
+def test_const_arpa_equivalence(tmp_path):
+    """arpa-to-const-arpa + lattice-lmrescore(carpa) produces the SAME
+    best paths and total costs as rescoring with the arpa2fst G built
+    from the same ARPA — the mmap-able large-LM path is score-equivalent
+    to the FST path (Kaldi lmrescore_const_arpa.sh parity)."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+
+    # several utterances with ambiguity so LM scores matter
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        for n, (a, b) in enumerate([("t", "b"), ("b", "t")]):
+            seq = [unit_id["k"]] * 2 + [0] + [unit_id["ae"]] * 2 + [0]
+            mat = np.full((len(seq) + 3, len(units) + 1), -8.0, np.float32)
+            for t, c in enumerate(seq):
+                mat[t, c] = 0.0
+            amb = len(seq)
+            mat[amb, unit_id[a]] = -0.6
+            mat[amb, unit_id[b]] = -0.8
+            mat[amb + 1, unit_id[a]] = -0.6
+            mat[amb + 1, unit_id[b]] = -0.8
+            mat[amb + 2, 0] = 0.0
+            writer.Write("u%d" % n, mat)
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--beam=20", "--lattice-beam=12", "--allow-partial=true",
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    # a 2-gram rescoring LM with real backoffs
+    arpa2 = tmp_path / "lm2.arpa"
+    arpa2.write_text("""
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-0.4 </s>
+-99 <s> -0.30103
+-1.2 cat -0.2
+-1.2 dog -0.2
+-0.5 cab -0.30103
+
+\\2-grams:
+-0.15 <s> cab
+-0.9 <s> cat
+-0.3 cab </s>
+
+\\end\\
+""")
+    g2 = str(tmp_path / "G2.fst")
+    run([os.path.join(FSTBIN, "fst-tools"), "arpa2fst",
+         "--disambig-symbol=#0",
+         "--read-symbol-table=%s" % (lang / "words.txt"),
+         str(arpa2), g2])
+    carpa = str(tmp_path / "G2.carpa")
+    run([os.path.join(FSTBIN, "arpa-to-const-arpa"),
+         str(arpa2), str(lang / "words.txt"), carpa])
+
+    def rescore_and_score(lm_file, tag):
+        mid = str(tmp_path / ("mid_%s.ark" % tag))
+        out = str(tmp_path / ("out_%s.ark" % tag))
+        run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=-1.0",
+             "ark:" + lat_ark, str(lang / "G.fst"), "ark:" + mid])
+        run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=1.0",
+             "ark:" + mid, lm_file, "ark:" + out])
+        costs_file = str(tmp_path / ("costs_%s.txt" % tag))
+        tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+                   "--write-costs=" + costs_file,
+                   "ark:" + out, "ark,t:-"])
+        costs = {}
+        for line in open(costs_file):
+            key, cost = line.split()
+            costs[key] = float(cost)
+        return tra.split("\n"), costs
+
+    fst_tra, fst_costs = rescore_and_score(g2, "fst")
+    carpa_tra, carpa_costs = rescore_and_score(carpa, "carpa")
+    assert fst_tra == carpa_tra
+    assert set(fst_costs) == set(carpa_costs) == {"u0", "u1"}
+    for key in fst_costs:
+        assert abs(fst_costs[key] - carpa_costs[key]) < 1e-3, key
+
+
+def test_const_arpa_trigram_backoff_queries(tmp_path):
+    """Direct 3-gram const-arpa semantics: rescoring adds exactly the
+    backoff-interpolated ARPA scores (hand-computed) to a linear
+    single-path lattice."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+
+    # single unambiguous path "cat dog"
+    seq = ([unit_id["k"]] * 2 + [0] + [unit_id["ae"]] * 2 + [0]
+           + [unit_id["t"]] * 2 + [0]
+           + [unit_id["d"]] * 2 + [0] + [unit_id["ao"]] * 2 + [0]
+           + [unit_id["g"]] * 2 + [0])
+    mat = np.full((len(seq), len(units) + 1), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--beam=20", "--lattice-beam=12", "--allow-partial=true",
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    # 3-gram LM covering the path: p(cat|<s>) is a bigram, p(dog|<s> cat)
+    # a trigram, p(</s>|cat dog) backs off through (dog) to the unigram:
+    # bow(cat dog) + bow(dog) + p(</s>)
+    arpa3 = tmp_path / "lm3.arpa"
+    arpa3.write_text("""
+\\data\\
+ngram 1=4
+ngram 2=2
+ngram 3=1
+
+\\1-grams:
+-0.5 </s>
+-99 <s> -0.1
+-1.0 cat -0.2
+-1.0 dog -0.25
+
+\\2-grams:
+-0.4 <s> cat -0.15
+-0.6 cat dog -0.35
+
+\\3-grams:
+-0.2 <s> cat dog
+
+\\end\\
+""")
+    carpa = str(tmp_path / "G3.carpa")
+    run([os.path.join(FSTBIN, "arpa-to-const-arpa"),
+         str(arpa3), str(lang / "words.txt"), carpa])
+
+    def best_cost(ark):
+        costs_file = str(tmp_path / "costs.txt")
+        run([os.path.join(FSTBIN, "lattice-best-path"),
+             "--write-costs=" + costs_file, "ark:" + ark, "ark,t:-"])
+        return float(open(costs_file).read().split()[1])
+
+    mid = str(tmp_path / "mid.ark")
+    out = str(tmp_path / "out.ark")
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=-1.0",
+         "ark:" + lat_ark, str(lang / "G.fst"), "ark:" + mid])
+    base = best_cost(mid)
+    run([os.path.join(FSTBIN, "lattice-lmrescore"), "--lm-scale=1.0",
+         "ark:" + mid, carpa, "ark:" + out])
+    got = best_cost(out) - base
+
+    ln10 = math.log(10.0)
+    expected = ln10 * (0.4          # p(cat | <s>)      bigram
+                       + 0.2        # p(dog | <s> cat)  trigram
+                       + 0.35 + 0.25 + 0.5)  # p(</s> | cat dog) backoff
+    assert abs(got - expected) < 1e-3, (got, expected)
