@@ -136,4 +136,85 @@ std::vector<int32_t> Lattice::BestPath(std::vector<int32_t>* tokens,
   return words;
 }
 
+bool Lattice::Prune(float beam) {
+  constexpr float kInf = std::numeric_limits<float>::infinity();
+  const int32_t n = NumStates();
+  if (start_ < 0 || n == 0) return true;
+
+  // Kahn topological order (lattices are DAGs; bail on cycles)
+  std::vector<int32_t> indeg(n, 0);
+  for (const auto& arcs : arcs_) {
+    for (const auto& a : arcs) ++indeg[a.nextstate];
+  }
+  std::vector<int32_t> order;
+  order.reserve(n);
+  for (int32_t s = 0; s < n; ++s) {
+    if (indeg[s] == 0) order.push_back(s);
+  }
+  for (size_t i = 0; i < order.size(); ++i) {
+    for (const auto& a : arcs_[order[i]]) {
+      if (--indeg[a.nextstate] == 0) order.push_back(a.nextstate);
+    }
+  }
+  if (static_cast<int32_t>(order.size()) != n) return false;  // cyclic
+
+  auto cost = [](const LatticeArc& a) {
+    return a.graph_cost + a.acoustic_cost;
+  };
+  std::vector<float> alpha(n, kInf), beta(n, kInf);
+  alpha[start_] = 0.0f;
+  for (int32_t s : order) {
+    if (alpha[s] == kInf) continue;
+    for (const auto& a : arcs_[s]) {
+      alpha[a.nextstate] = std::min(alpha[a.nextstate],
+                                    alpha[s] + cost(a));
+    }
+  }
+  float best = kInf;
+  for (int32_t s = 0; s < n; ++s) {
+    if (final_[s].is_final && alpha[s] != kInf) {
+      beta[s] = final_[s].graph_cost + final_[s].acoustic_cost;
+      best = std::min(best, alpha[s] + beta[s]);
+    }
+  }
+  for (auto it = order.rbegin(); it != order.rend(); ++it) {
+    for (const auto& a : arcs_[*it]) {
+      if (beta[a.nextstate] != kInf) {
+        beta[*it] = std::min(beta[*it], cost(a) + beta[a.nextstate]);
+      }
+    }
+  }
+  if (best == kInf) return true;  // nothing reaches a final; leave as-is
+  const float limit = best + beam;
+
+  // rebuild with only in-beam arcs/finals + renumbered live states
+  std::vector<int32_t> remap(n, -1);
+  Lattice out;
+  auto live = [&](int32_t s) {
+    if (remap[s] < 0) remap[s] = out.AddState();
+    return remap[s];
+  };
+  out.SetStart(live(start_));
+  for (int32_t s : order) {
+    if (alpha[s] == kInf || alpha[s] + beta[s] > limit) continue;
+    int32_t ns = live(s);
+    if (final_[s].is_final &&
+        alpha[s] + final_[s].graph_cost + final_[s].acoustic_cost
+            <= limit) {
+      out.SetFinal(ns, final_[s].graph_cost, final_[s].acoustic_cost);
+    }
+    for (const auto& a : arcs_[s]) {
+      if (beta[a.nextstate] == kInf ||
+          alpha[s] + cost(a) + beta[a.nextstate] > limit) {
+        continue;
+      }
+      LatticeArc na = a;
+      na.nextstate = live(a.nextstate);
+      out.AddArc(ns, na);
+    }
+  }
+  *this = std::move(out);
+  return true;
+}
+
 }  // namespace lctc

@@ -57,6 +57,12 @@ class Lattice {
   std::vector<int32_t> BestPath(std::vector<int32_t>* tokens = nullptr,
                                 float* total_cost = nullptr) const;
 
+  // drop arcs/finals whose best path through them costs more than
+  // best + beam (graph + acoustic), then trim unreachable states.
+  // Topological DP — correct with the negative graph costs that appear
+  // mid-rescore; returns false (no-op) on a cyclic lattice.
+  bool Prune(float beam);
+
  private:
   int32_t start_ = -1;
   std::vector<std::vector<LatticeArc>> arcs_;

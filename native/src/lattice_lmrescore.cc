@@ -149,7 +149,7 @@ bool Rescore(const Lattice& in, const LM& lm, float lm_scale,
 
 template <class LM>
 int RunRescore(const std::string& rspec, const LM& lm, float lm_scale,
-               const std::string& wspec) {
+               const std::string& wspec, float prune_beam) {
   ByteSource src(StripArkPrefix(rspec));
   ArchiveWriter writer(wspec);
   std::string key;
@@ -158,6 +158,10 @@ int RunRescore(const std::string& rspec, const LM& lm, float lm_scale,
   while (Lattice::Read(&src, &key, &lat)) {
     Lattice rescored;
     if (Rescore(lat, lm, lm_scale, &rescored)) {
+      // composition multiplies lattice states by LM histories; beam
+      // pruning bounds the output the way Kaldi's determinized
+      // lattices do implicitly
+      if (prune_beam > 0.0f) rescored.Prune(prune_beam);
       writer.BeginEntry(key);
       rescored.Write(writer.sink());
       ++done;
@@ -174,11 +178,14 @@ int RunRescore(const std::string& rspec, const LM& lm, float lm_scale,
 
 int main(int argc, char** argv) {
   float lm_scale = 1.0f;
+  float prune_beam = 0.0f;
   std::vector<std::string> args;
   for (int i = 1; i < argc; ++i) {
     std::string arg = argv[i];
     if (arg.rfind("--lm-scale=", 0) == 0) {
       lm_scale = atof(arg.c_str() + 11);
+    } else if (arg.rfind("--prune-beam=", 0) == 0) {
+      prune_beam = atof(arg.c_str() + 13);
     } else if (arg.rfind("--", 0) == 0) {
       std::cerr << "lattice-lmrescore: ignoring unknown flag " << arg
                 << "\n";
@@ -194,7 +201,7 @@ int main(int argc, char** argv) {
   try {
     if (ConstArpaLm::IsCarpaFile(args[1])) {
       ConstArpaLm lm = ConstArpaLm::Read(args[1]);
-      return RunRescore(args[0], lm, lm_scale, args[2]);
+      return RunRescore(args[0], lm, lm_scale, args[2], prune_beam);
     }
     std::ifstream gfh(args[1], std::ios::binary);
     if (!gfh) {
@@ -203,7 +210,7 @@ int main(int argc, char** argv) {
     }
     Fst g = (gfh.peek() == 'L') ? Fst::Read(gfh) : Fst::ReadText(gfh);
     FstLm lm(std::move(g));
-    return RunRescore(args[0], lm, lm_scale, args[2]);
+    return RunRescore(args[0], lm, lm_scale, args[2], prune_beam);
   } catch (const std::exception& e) {
     std::cerr << "lattice-lmrescore: " << e.what() << "\n";
     return 1;

@@ -8,6 +8,8 @@
 //       output: "key w1 w2 ...\n" integer text (pipe through int2sym.pl);
 //       --write-costs emits "key total_cost\n" per utterance (used by the
 //       const-arpa vs G.fst rescoring equivalence tests)
+//   lattice-prune [--beam=B] <in> <out>
+//       beam-prune paths > B worse than the best (graph+acoustic)
 
 #include <cstring>
 #include <fstream>
@@ -27,7 +29,8 @@ int main(int argc, char** argv) {
   if (slash != std::string::npos) prog = prog.substr(slash + 1);
   int arg_start = 1;
   std::string cmd;
-  if (prog == "lattice-scale" || prog == "lattice-best-path") {
+  if (prog == "lattice-scale" || prog == "lattice-best-path" ||
+      prog == "lattice-prune") {
     cmd = prog;
   } else {
     if (argc < 2) {
@@ -41,6 +44,7 @@ int main(int argc, char** argv) {
 
   float acoustic_scale = 1.0f;
   float ascale_factor = 1.0f;
+  float beam = 10.0f;
   std::string costs_file;
   std::vector<std::string> args;
   for (int i = arg_start; i < argc; ++i) {
@@ -51,6 +55,8 @@ int main(int argc, char** argv) {
       ascale_factor = atof(arg.c_str() + 16);
     } else if (arg.rfind("--write-costs=", 0) == 0) {
       costs_file = arg.substr(14);
+    } else if (arg.rfind("--beam=", 0) == 0) {
+      beam = atof(arg.c_str() + 7);
     } else if (arg.rfind("--word-symbol-table=", 0) == 0) {
       // accepted for CLI parity; output stays integer text
     } else if (arg.rfind("--", 0) == 0) {
@@ -87,6 +93,16 @@ int main(int argc, char** argv) {
         line += "\n";
         sink.Write(line.data(), line.size());
         if (costs.is_open()) costs << key << " " << total_cost << "\n";
+      }
+    } else if (cmd == "lattice-prune") {
+      ArchiveWriter writer(args[1]);
+      while (Lattice::Read(&src, &key, &lat)) {
+        if (!lat.Prune(beam)) {
+          std::cerr << "lattice-prune: cyclic lattice for " << key
+                    << ", passing through\n";
+        }
+        writer.BeginEntry(key);
+        lat.Write(writer.sink());
       }
     } else {
       std::cerr << "unknown lattice tool " << cmd << "\n";

@@ -487,3 +487,49 @@ ngram 3=1
                        + 0.2        # p(dog | <s> cat)  trigram
                        + 0.35 + 0.25 + 0.5)  # p(</s> | cat dog) backoff
     assert abs(got - expected) < 1e-3, (got, expected)
+
+
+def test_lattice_prune_keeps_best_path(tmp_path):
+    """lattice-prune: best path is invariant, in-beam structure shrinks,
+    and a beam-0 prune leaves exactly the best-path cost reachable."""
+    lang, units = make_tlg(tmp_path)
+    unit_id = {u: i + 1 for i, u in enumerate(units)}
+    seq = [unit_id["k"]] * 2 + [0] + [unit_id["ae"]] * 2 + [0]
+    mat = np.full((len(seq) + 3, len(units) + 1), -8.0, np.float32)
+    for t, c in enumerate(seq):
+        mat[t, c] = 0.0
+    amb = len(seq)
+    mat[amb, unit_id["t"]] = -0.6
+    mat[amb, unit_id["b"]] = -0.9
+    mat[amb + 1, unit_id["t"]] = -0.6
+    mat[amb + 1, unit_id["b"]] = -0.9
+    mat[amb + 2, 0] = 0.0
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+    lat_ark = str(tmp_path / "lat.ark")
+    run([os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--beam=20", "--lattice-beam=12", "--allow-partial=true",
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark])
+
+    def best_and_cost(ark):
+        costs_file = str(tmp_path / "c.txt")
+        tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+                   "--write-costs=" + costs_file, "ark:" + ark, "ark,t:-"])
+        return tra.strip(), float(open(costs_file).read().split()[1])
+
+    ref_tra, ref_cost = best_and_cost(lat_ark)
+    pruned = str(tmp_path / "pruned.ark")
+    run([os.path.join(FSTBIN, "lattice-prune"), "--beam=5",
+         "ark:" + lat_ark, "ark:" + pruned])
+    got_tra, got_cost = best_and_cost(pruned)
+    assert got_tra == ref_tra
+    assert abs(got_cost - ref_cost) < 1e-4
+    assert os.path.getsize(pruned) <= os.path.getsize(lat_ark)
+
+    tight = str(tmp_path / "tight.ark")
+    run([os.path.join(FSTBIN, "lattice-prune"), "--beam=0.0001",
+         "ark:" + lat_ark, "ark:" + tight])
+    t_tra, t_cost = best_and_cost(tight)
+    assert t_tra == ref_tra and abs(t_cost - ref_cost) < 1e-4
+    assert os.path.getsize(tight) < os.path.getsize(lat_ark)
