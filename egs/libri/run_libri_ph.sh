@@ -20,7 +20,8 @@ stage=1
 librispeech=       # root containing train-clean-100/360, train-other-500,
                    # dev-clean, dev-other, test-clean, test-other
 phn_dict=          # librispeech phoneme lexicon ("WORD ph ph ...")
-lm_arpa=           # decoding LM (e.g. tgsmall)
+lm_arpa=           # decoding LM (tgsmall); empty → local/download_lm.sh
+lm_dir=data/local/lm   # where download_lm.sh puts/found the LMs
 nj=32
 seed=777
 
@@ -42,14 +43,30 @@ target_length_cutoff=3
 . "$SCRIPTS/parse_options.sh" || exit 1
 
 if [ "$stage" -le 1 ]; then
-  echo "===== stage 1: data prep + dict + decode graph ====="
+  echo "===== stage 1: data prep + dict + LMs + decode graphs ====="
   [ -z "$librispeech" ] && echo "need --librispeech <root>" && exit 1
   bash local/libri_data_prep.sh "$librispeech"
   [ -z "$phn_dict" ] && echo "need --phn-dict" && exit 1
   bash local/libri_prepare_phn_dict.sh "$phn_dict"
-  [ -z "$lm_arpa" ] && echo "need --lm-arpa" && exit 1
+  if [ -z "$lm_arpa" ]; then
+    bash local/download_lm.sh "$lm_dir"
+    lm_arpa="$lm_dir/lm_tgsmall.arpa.gz"
+  fi
+  # decode graphs: tgsmall + tgmed (reference run_libri_ph.sh:328-331)
   bash "$SCRIPTS/make_TLG.sh" data/local/dict_phn "$lm_arpa" \
     data/lang_phn_test_tgsmall
+  if [ -f "$lm_dir/lm_tgmed.arpa.gz" ]; then
+    bash "$SCRIPTS/make_TLG.sh" data/local/dict_phn \
+      "$lm_dir/lm_tgmed.arpa.gz" data/lang_phn_test_tgmed
+  fi
+  # const-arpa rescoring dirs: tglarge + fglarge (reference
+  # run_libri_ph.sh:333-337, local/ls_const_graph.sh)
+  for lm in tglarge fglarge; do
+    if [ -f "$lm_dir/lm_$lm.arpa.gz" ]; then
+      bash "$SCRIPTS/build_const_arpa_lm.sh" "$lm_dir/lm_$lm.arpa.gz" \
+        data/lang_phn_test_tgsmall data/lang_phn_test_$lm
+    fi
+  done
 fi
 
 if [ "$stage" -le 2 ]; then
@@ -144,12 +161,33 @@ EOF
 fi
 
 if [ "$stage" -le 5 ]; then
-  echo "===== stage 5: decode 4 test sets ====="
+  echo "===== stage 5: decode 4 test sets (tgsmall + tgmed) ====="
   for set in dev_clean dev_other test_clean test_other; do
     bash "$SCRIPTS/decode_ctc_lat.sh" --nj "$nj" --beam 17.0 \
       --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
       --ntargets "$num_targets" \
-      data/lang_phn_test_tgsmall data/$set "$dir/decode_$set"
+      data/lang_phn_test_tgsmall data/$set "$dir/decode_${set}_tgsmall"
+    if [ -f data/lang_phn_test_tgmed/TLG.fst ]; then
+      bash "$SCRIPTS/decode_ctc_lat.sh" --nj "$nj" --beam 17.0 \
+        --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
+        --ntargets "$num_targets" \
+        data/lang_phn_test_tgmed data/$set "$dir/decode_${set}_tgmed"
+    fi
+  done
+fi
+
+if [ "$stage" -le 6 ]; then
+  echo "===== stage 6: tglarge/fglarge const-arpa rescore ====="
+  # reference run_libri_ph.sh:333-337 (steps/lmrescore_const_arpa.sh)
+  for set in dev_clean dev_other test_clean test_other; do
+    for lm in tglarge fglarge; do
+      if [ -f data/lang_phn_test_$lm/G.carpa ]; then
+        bash "$SCRIPTS/lmrescore_const_arpa.sh" \
+          data/lang_phn_test_tgsmall data/lang_phn_test_$lm \
+          data/$set "$dir/decode_${set}_tgsmall" \
+          "$dir/decode_${set}_tgsmall_$lm"
+      fi
+    done
   done
 fi
 

@@ -36,7 +36,7 @@ num_units=$(test -f "$work/data/dict/units.txt" && wc -l < "$work/data/dict/unit
 if [ "$stage" -le 0 ]; then
   echo "===== stage 0: data generation ====="
   $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 12
-  $PYTHON "$RECIPE_DIR/local/train_lm.py" "$work/data/train/text" \
+  $PYTHON "$BIN/train-lm.py" --order 2 "$work/data/train/text" \
     > "$work/data/lm.arpa"
 fi
 
@@ -137,10 +137,11 @@ fi
 
 if [ "$stage" -le 6 ]; then
   echo "===== stage 6: LM rescoring (second LM over the same lattices) ====="
-  # rescore with the dev-estimated LM as a stand-in "bigger" LM; exercises
-  # the lattice-lmrescore path (reference const-arpa rescoring protocol)
-  $PYTHON "$RECIPE_DIR/local/train_lm.py" "$work/data/dev/text" \
-    > "$work/data/lm2.arpa"
+  # rescore with a bigger KN 3-gram trained on train+dev text — both the
+  # on-demand G.fst path (lmrescore.sh) and the mmap const-arpa path
+  # (lmrescore_const_arpa.sh, the reference tglarge/fglarge protocol)
+  cat "$work/data/train/text" "$work/data/dev/text" |
+    $PYTHON "$BIN/train-lm.py" --order 3 - > "$work/data/lm2.arpa"
   bash "$SCRIPTS/make_TLG.sh" "$work/data/dict" "$work/data/lm2.arpa" \
     "$work/lang2" > /dev/null
   bash "$SCRIPTS/lmrescore.sh" --min-acwt 5 --max-acwt 15 \
@@ -148,6 +149,15 @@ if [ "$stage" -le 6 ]; then
     "$work/exp/decode_test" "$work/exp/decode_test_rescored"
   echo "===== rescored best WER ====="
   grep -H "^summary" "$work/exp/decode_test_rescored"/wer_* |
+    awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
+
+  bash "$SCRIPTS/build_const_arpa_lm.sh" "$work/data/lm2.arpa" \
+    "$work/lang2" "$work/lang2_carpa"
+  bash "$SCRIPTS/lmrescore_const_arpa.sh" --min-acwt 5 --max-acwt 15 \
+    "$work/lang" "$work/lang2_carpa" "$work/data/test" \
+    "$work/exp/decode_test" "$work/exp/decode_test_carpa"
+  echo "===== const-arpa rescored best WER ====="
+  grep -H "^summary" "$work/exp/decode_test_carpa"/wer_* |
     awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
 fi
 

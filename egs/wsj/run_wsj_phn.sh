@@ -6,6 +6,8 @@
 #   stage 3: CTC labels (blank→last shift) + length-sorted records + priors
 #   stage 4: nnet.config + newbob training (train_oplr.sh)
 #   stage 5: lattice decode of dev93/eval92 + WER sweep
+#   stage 6: const-arpa rescore with the unpruned trigram (reference
+#            run_wsj_phn.sh:279-286)
 #
 # Model defaults = the reference treatment config (run_wsj_phn.sh:10-46):
 # 4×BLSTM-320 proj 320, 120-d input (40 fbank + Δ + ΔΔ), splice ±1,
@@ -26,7 +28,9 @@ stage=1
 wsj0=
 wsj1=
 cmudict=
-lm_arpa=            # pretrained ARPA LM (e.g. the WSJ tgpr LM)
+lm_arpa=            # pretrained decode ARPA (e.g. WSJ tgpr); empty →
+                    # self-train with bin/train-lm.py in stage 1
+rescore_arpa=       # larger ARPA for const-arpa rescoring (e.g. tg)
 nj=16
 seed=777
 
@@ -50,13 +54,35 @@ target_length_cutoff=3
 . "$SCRIPTS/parse_options.sh" || exit 1
 
 if [ "$stage" -le 1 ]; then
-  echo "===== stage 1: data prep + dict + decode graph ====="
+  echo "===== stage 1: data prep + dict + LMs + decode graph ====="
   [ -z "$wsj0" ] && echo "need --wsj0 / --wsj1 (LDC corpora)" && exit 1
   bash local/wsj_data_prep.sh "$wsj0" "$wsj1"
   bash local/wsj_prepare_phn_dict.sh "$cmudict"
-  [ -z "$lm_arpa" ] && echo "need --lm-arpa for the decode graph" && exit 1
+  if [ -z "$lm_arpa" ]; then
+    # self-train the LMs from the training transcripts (reference
+    # local/wsj_train_lms.sh via kaldi_lm; here the native KN trainer):
+    # tg = unpruned trigram for rescoring, tgpr = pruned for decoding
+    echo "no --lm-arpa: training trigram LMs from the training text"
+    mkdir -p data/local/local_lm
+    awk '{print $1}' data/local/dict_phn/lexicon.txt | sort -u \
+      > data/local/local_lm/wordlist.txt
+    $PYTHON "$BIN/train-lm.py" --order 3 \
+      --wordlist data/local/local_lm/wordlist.txt \
+      data/train_si284/text > data/local/local_lm/tg.arpa
+    $PYTHON "$BIN/train-lm.py" --order 3 --prune 1e-7 \
+      --wordlist data/local/local_lm/wordlist.txt \
+      data/train_si284/text > data/local/local_lm/tgpr.arpa
+    lm_arpa=data/local/local_lm/tgpr.arpa
+    rescore_arpa=${rescore_arpa:-data/local/local_lm/tg.arpa}
+  fi
   bash "$SCRIPTS/make_TLG.sh" data/local/dict_phn "$lm_arpa" \
     data/lang_phn_test_tgpr
+  if [ -n "${rescore_arpa:-}" ]; then
+    # const-arpa lang dir for the tg rescoring pass (reference
+    # local/wsj_const_graph.sh + run_wsj_phn.sh:279-286)
+    bash "$SCRIPTS/build_const_arpa_lm.sh" "$rescore_arpa" \
+      data/lang_phn_test_tgpr data/lang_phn_test_tgconst
+  fi
 fi
 
 if [ "$stage" -le 2 ]; then
@@ -174,6 +200,15 @@ if [ "$stage" -le 5 ]; then
       --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
       --ntargets "$num_targets" \
       data/lang_phn_test_tgpr data/test_$set "$dir/decode_$set"
+  done
+fi
+
+if [ "$stage" -le 6 ] && [ -f data/lang_phn_test_tgconst/G.carpa ]; then
+  echo "===== stage 6: const-arpa tg rescore ====="
+  for set in dev93 eval92; do
+    bash "$SCRIPTS/lmrescore_const_arpa.sh" \
+      data/lang_phn_test_tgpr data/lang_phn_test_tgconst \
+      data/test_$set "$dir/decode_$set" "$dir/decode_${set}_tgconst"
   done
 fi
 

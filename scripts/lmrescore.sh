@@ -15,6 +15,7 @@ cmd="$SCRIPT_DIR/run.pl"
 skip_scoring=false
 min_acwt=1
 max_acwt=20
+prune_beam=8    # bound composed-lattice growth
 
 . "$SCRIPT_DIR/parse_options.sh" || exit 1
 
@@ -39,7 +40,8 @@ cp "$oldlang/words.txt" "$outdir/../words.txt" 2>/dev/null || true
 $cmd JOB=1:"$nj" "$outdir/rescore.JOB.log" \
   gunzip -c "$indir/lat.JOB.gz" \| \
   "$FSTBIN/lattice-lmrescore" --lm-scale=-1.0 ark:- "$oldlang/G.fst" ark:- \| \
-  "$FSTBIN/lattice-lmrescore" --lm-scale=1.0 ark:- "$newlang/G.fst" \
+  "$FSTBIN/lattice-lmrescore" --lm-scale=1.0 --prune-beam="$prune_beam" \
+    ark:- "$newlang/G.fst" \
     "ark:|gzip -c > $outdir/lat.JOB.gz" || exit 1
 
 if ! $skip_scoring; then
