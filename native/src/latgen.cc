@@ -43,7 +43,10 @@ struct Flags {
   float lattice_beam = 10.0f;
   int max_active = 0x7fffffff;
   int min_active = 200;
-  float max_mem = 0;      // accepted, unused
+  // bytes of in-progress lattice before an immediate prune (EESEN/Kaldi
+  // latgen-faster --max-mem); periodic pruning runs regardless
+  double max_mem = 50e6;
+  int prune_interval = 25;  // frames between periodic in-progress prunes
   bool allow_partial = false;
   std::string word_symbol_table;
 };
@@ -72,6 +75,28 @@ class LatticeDecoder {
       if (next.empty()) return false;  // beam collapsed
       ProcessNonemitting(&next, &lat);
       cur.swap(next);
+      peak_lat_states_ = std::max(peak_lat_states_,
+                                  static_cast<int64_t>(lat.NumStates()));
+      // in-progress pruning bounds lattice memory over long utterances:
+      // states not within lattice_beam of the best path to the active
+      // frontier can never re-enter the search (PruneActiveTokens
+      // semantics).  Periodic + on-demand when past the memory budget.
+      bool periodic = flags_.prune_interval > 0 &&
+          (t + 1) % flags_.prune_interval == 0;
+      bool over_budget = flags_.max_mem > 0 &&
+          LatticeBytes(lat) > flags_.max_mem;
+      if ((periodic || over_budget) && t + 1 < loglikes.rows) {
+        PruneInProgress(&cur, &lat, flags_.lattice_beam);
+        // still past the budget → tighten the beam until it fits
+        // (Kaldi halves the lattice beam under memory pressure); the
+        // best path always survives
+        float beam = flags_.lattice_beam;
+        while (flags_.max_mem > 0 && LatticeBytes(lat) > flags_.max_mem
+               && beam > 0.01f) {
+          beam *= 0.5f;
+          PruneInProgress(&cur, &lat, beam);
+        }
+      }
     }
 
     // final states
@@ -96,7 +121,35 @@ class LatticeDecoder {
     return true;
   }
 
+  int64_t peak_lat_states() const { return peak_lat_states_; }
+
  private:
+  static double LatticeBytes(const Lattice& lat) {
+    size_t arcs = 0;
+    for (int32_t s = 0; s < lat.NumStates(); ++s) {
+      arcs += lat.ArcsAt(s).size();
+    }
+    return 56.0 * lat.NumStates() + 20.0 * arcs;
+  }
+
+  void PruneInProgress(std::unordered_map<StateId, Token>* cur,
+                       Lattice* lat, float beam) {
+    std::vector<int32_t> frontier;
+    frontier.reserve(cur->size());
+    for (const auto& [s, tok] : *cur) frontier.push_back(tok.lat_state);
+    std::vector<int32_t> remap;
+    if (!lat->Prune(beam, &frontier, &remap)) return;
+    for (auto it = cur->begin(); it != cur->end();) {
+      int32_t ns = remap[it->second.lat_state];
+      if (ns < 0) {
+        it = cur->erase(it);
+      } else {
+        it->second.lat_state = ns;
+        ++it;
+      }
+    }
+  }
+
   void ProcessEmitting(const std::unordered_map<StateId, Token>& cur,
                        const Matrix& loglikes, int32_t t,
                        std::unordered_map<StateId, Token>* next,
@@ -202,6 +255,7 @@ class LatticeDecoder {
 
   const Fst& graph_;
   Flags flags_;
+  int64_t peak_lat_states_ = 0;
 };
 
 // trim lattice states not reaching a final state
@@ -273,6 +327,8 @@ int main(int argc, char** argv) {
     else if ((v = val("--max-active"))) flags.max_active = atoi(v);
     else if ((v = val("--min-active"))) flags.min_active = atoi(v);
     else if ((v = val("--max-mem"))) flags.max_mem = atof(v);
+    else if ((v = val("--prune-interval")))
+      flags.prune_interval = atoi(v);
     else if ((v = val("--allow-partial")))
       flags.allow_partial = std::strcmp(v, "true") == 0;
     else if ((v = val("--word-symbol-table")))
@@ -320,7 +376,8 @@ int main(int argc, char** argv) {
       }
     }
     std::cerr << "latgen-faster: decoded " << done << " utterances, "
-              << failed << " failed\n";
+              << failed << " failed (peak in-progress lattice states "
+              << decoder.peak_lat_states() << ")\n";
     return failed > 0 && done == 0 ? 1 : 0;
   } catch (const std::exception& e) {
     std::cerr << "latgen-faster: " << e.what() << "\n";

@@ -136,7 +136,9 @@ std::vector<int32_t> Lattice::BestPath(std::vector<int32_t>* tokens,
   return words;
 }
 
-bool Lattice::Prune(float beam) {
+bool Lattice::Prune(float beam,
+                    const std::vector<int32_t>* extra_finals,
+                    std::vector<int32_t>* remap_out) {
   constexpr float kInf = std::numeric_limits<float>::infinity();
   const int32_t n = NumStates();
   if (start_ < 0 || n == 0) return true;
@@ -177,6 +179,14 @@ bool Lattice::Prune(float beam) {
       best = std::min(best, alpha[s] + beta[s]);
     }
   }
+  if (extra_finals) {
+    for (int32_t s : *extra_finals) {
+      if (alpha[s] != kInf) {
+        beta[s] = std::min(beta[s], 0.0f);
+        best = std::min(best, alpha[s]);
+      }
+    }
+  }
   for (auto it = order.rbegin(); it != order.rend(); ++it) {
     for (const auto& a : arcs_[*it]) {
       if (beta[a.nextstate] != kInf) {
@@ -213,6 +223,7 @@ bool Lattice::Prune(float beam) {
       out.AddArc(ns, na);
     }
   }
+  if (remap_out) *remap_out = remap;
   *this = std::move(out);
   return true;
 }

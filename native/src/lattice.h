@@ -61,7 +61,15 @@ class Lattice {
   // best + beam (graph + acoustic), then trim unreachable states.
   // Topological DP — correct with the negative graph costs that appear
   // mid-rescore; returns false (no-op) on a cyclic lattice.
-  bool Prune(float beam);
+  //
+  // extra_finals (optional): states treated as zero-cost finals — the
+  // decoder's active frontier during in-progress pruning (Kaldi
+  // PruneActiveTokens semantics).  remap (optional) receives the
+  // old→new state mapping (-1 = pruned) so callers can relocate live
+  // references.
+  bool Prune(float beam,
+             const std::vector<int32_t>* extra_finals = nullptr,
+             std::vector<int32_t>* remap_out = nullptr);
 
  private:
   int32_t start_ = -1;

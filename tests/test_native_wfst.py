@@ -533,3 +533,56 @@ def test_lattice_prune_keeps_best_path(tmp_path):
     t_tra, t_cost = best_and_cost(tight)
     assert t_tra == ref_tra and abs(t_cost - ref_cost) < 1e-4
     assert os.path.getsize(tight) < os.path.getsize(lat_ark)
+
+
+def test_latgen_max_mem_bounds_lattice_growth(tmp_path):
+    """--max-mem / periodic in-progress pruning: a long high-entropy
+    utterance decodes with bounded in-progress lattice states, and the
+    best path matches an unpruned decode (PruneActiveTokens semantics,
+    EESEN latgen-faster --max-mem behavior)."""
+    lang, units = make_tlg(tmp_path)
+    rng = np.random.RandomState(0)
+    # 600 nearly-flat frames → every in-beam alternative survives
+    mat = rng.uniform(-2.2, -1.8,
+                      (600, len(units) + 1)).astype(np.float32)
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+
+    def decode(tag, *extra):
+        lat_ark = str(tmp_path / ("lat_%s.ark" % tag))
+        proc = subprocess.run(
+            [os.path.join(FSTBIN, "latgen-faster"),
+             "--acoustic-scale=1.0", "--beam=17",
+             "--lattice-beam=8", "--allow-partial=true", *extra,
+             str(lang / "TLG.fst"), "ark:" + post_ark,
+             "ark:" + lat_ark], capture_output=True, text=True,
+            check=True)
+        peak = int(proc.stderr.split("peak in-progress lattice states")[1]
+                   .strip(" )\n"))
+        costs_file = str(tmp_path / ("costs_%s.txt" % tag))
+        tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+                   "--write-costs=" + costs_file,
+                   "ark:" + lat_ark, "ark,t:-"])
+        cost = float(open(costs_file).read().split()[1])
+        return peak, tra, cost
+
+    peak_off, tra_off, cost_off = decode("off", "--prune-interval=0",
+                                         "--max-mem=0")
+    peak_on, tra_on, cost_on = decode("on")  # defaults: 25 frames, 50MB
+    assert tra_on == tra_off                  # best path invariant
+    assert peak_on <= peak_off
+
+    # a binding memory budget tightens the beam until the lattice
+    # fits: bounded peak, best-path cost within a small margin (beam
+    # tightening trades lattice richness for memory, like Kaldi's
+    # beam-halving under --max-mem)
+    peak_tight, _, cost_tight = decode("tight", "--max-mem=500000")
+    assert peak_tight < peak_off / 2, (peak_tight, peak_off)
+    assert cost_tight <= cost_off * 1.005, (cost_tight, cost_off)
+
+    # even a pathological budget stays correct-by-construction: it
+    # decodes, and cost degrades gracefully (within a few percent)
+    peak_tiny, _, cost_tiny = decode("tiny", "--max-mem=50000")
+    assert peak_tiny < peak_tight
+    assert cost_tiny <= cost_off * 1.03, (cost_tiny, cost_off)
