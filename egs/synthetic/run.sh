@@ -27,6 +27,7 @@ num_projects=32
 learn_rate=0.006
 batch_size=8
 num_train=80
+seed=7
 
 . "$SCRIPTS/parse_options.sh" || exit 1
 
@@ -105,7 +106,7 @@ use_peepholes = true
 dropout_rate = 1.0
 num_experts = $num_experts
 moe_temp = 10.0
-seed = 7
+seed = $seed
 EOF
   bash "$SCRIPTS/train_oplr.sh" \
     --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
