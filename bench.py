@@ -79,6 +79,9 @@ def main():
         "value": round(train_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(train_fps / ASSUMED_V100_FRAMES_PER_SEC, 3),
+        "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s"
+                         " V100/TF1.8 figure; the reference publishes"
+                         " accuracy only (BASELINE.md)",
         "forward_frames_per_sec": round(fwd_fps, 1),
         "batch": batch_size,
         "time_steps": time_steps,
