@@ -102,6 +102,15 @@ def label_smoothing_reg(logits: jnp.ndarray, config: Dict) -> List:
     return reg_losses
 
 
+def _use_fused_lstm() -> bool:
+    """Pallas whole-sequence BLSTM kernel vs the XLA dual scan.  Opt-in
+    via LSTM_CTC_TPU_LSTM_IMPL=pallas (or interpret-mode testing);
+    'auto' currently keeps the XLA scan pending on-chip A/B results."""
+    import os
+    impl = os.environ.get("LSTM_CTC_TPU_LSTM_IMPL", "auto")
+    return impl == "pallas"
+
+
 def apply_blstm(params: Dict,
                 nnet_input: jnp.ndarray,
                 sequence_length: jnp.ndarray,
@@ -116,11 +125,19 @@ def apply_blstm(params: Dict,
     compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
         str(config.get("compute_dtype", "")).lower())
 
+    scan_fn = bilstm_dual_scan
+    if _use_fused_lstm():
+        from ..ops.lstm_pallas import bilstm_dual_scan_fused
+        import functools
+        scan_fn = functools.partial(
+            bilstm_dual_scan_fused,
+            interpret=jax.default_backend() == "cpu")
+
     finput = nnet_input
     binput = reverse_sequence(nnet_input, sequence_length)
     fw_state = bw_state = None
     for i in range(num_layers):
-        fw_out, bw_out, (fw_state, bw_state) = bilstm_dual_scan(
+        fw_out, bw_out, (fw_state, bw_state) = scan_fn(
             params["fwd"][i], params["bwd"][i], finput, binput,
             sequence_length, FORGET_BIAS, compute_dtype=compute_dtype)
         if keep_prob < 1.0 and dropout_rng is not None:

@@ -1,0 +1,464 @@
+"""Pallas TPU whole-sequence kernel for the dual-direction LSTM scan.
+
+The XLA ``lax.scan`` path (models/cells.py bilstm_dual_scan) pays ~8 µs
+of per-step overhead around ~2 µs of MXU work at acoustic batch sizes —
+the dominant cost of the whole model (4 layer-pairs × T sequential
+steps).  This kernel runs the entire time loop inside one Pallas program
+with the recurrent weights resident in VMEM: gates_x (the precomputed
+input projection) streams through in time blocks, the carried (c, h)
+live in scratch, and each step issues two recurrent matmuls plus the
+gate math with no per-step dispatch.
+
+Semantics mirror the TF1 LSTMCell stack exactly (peepholes, runtime
+forget-gate bias, TF gate order i, j, f, o, projection, dynamic_rnn
+masking — reference nnet/bilstm.py:125-188); the two directions are
+stacked on the row axis ([2B, ·]) so direction never needs a gather.
+
+Backward: a second whole-sequence kernel runs the reverse recurrence,
+recomputing each step's gate activations from the stored per-step
+(c, h) states (bf16) and the streamed gates_x — matmul-level remat with
+weight gradients accumulated in VMEM scratch.  wx/bias gradients come
+from the emitted dgates via one large XLA matmul, exactly like the
+forward input projection.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TIME_BLOCK = 16
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
+                     use_proj, cdt):
+    h4 = 4 * num_units
+
+    def kernel(gx_ref, mask_ref, whf_ref, whb_ref, projf_ref, projb_ref,
+               wi_ref, wf_ref, wo_ref,
+               out_ref, call_ref, hall_ref, cfin_ref, hfin_ref,
+               c_ref, h_ref):
+        blk = pl.program_id(0)
+        nblk = pl.num_programs(0)
+
+        @pl.when(blk == 0)
+        def _():
+            c_ref[:] = jnp.zeros_like(c_ref)
+            h_ref[:] = jnp.zeros_like(h_ref)
+
+        def step(tt, carry):
+            c, h = carry                         # [2B, H], [2B, P]
+            hf = h[:batch].astype(cdt)
+            hb = h[batch:].astype(cdt)
+            rec_f = jax.lax.dot_general(
+                hf, whf_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rec_b = jax.lax.dot_general(
+                hb, whb_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gates = gx_ref[tt].astype(jnp.float32) \
+                + jnp.concatenate([rec_f, rec_b], axis=0)
+            i = gates[:, 0 * num_units:1 * num_units]
+            j = gates[:, 1 * num_units:2 * num_units]
+            f = gates[:, 2 * num_units:3 * num_units]
+            o = gates[:, 3 * num_units:4 * num_units]
+            if use_peep:
+                i = i + wi_ref[:] * c
+                f = f + wf_ref[:] * c
+            c_new = (_sigmoid(f + forget_bias) * c
+                     + _sigmoid(i) * jnp.tanh(j))
+            if use_peep:
+                o = o + wo_ref[:] * c_new
+            out = _sigmoid(o) * jnp.tanh(c_new)  # [2B, H]
+            if use_proj:
+                out = jnp.concatenate([
+                    jax.lax.dot_general(
+                        out[:batch].astype(cdt), projf_ref[:],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(
+                        out[batch:].astype(cdt), projb_ref[:],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)], axis=0)
+            m = mask_ref[tt]                     # [2B, 1]
+            c_next = m * c_new + (1.0 - m) * c
+            h_next = m * out + (1.0 - m) * h
+            out_ref[tt] = (m * out).astype(out_ref.dtype)
+            call_ref[tt] = c_next.astype(call_ref.dtype)
+            hall_ref[tt] = h_next.astype(hall_ref.dtype)
+            return c_next, h_next
+
+        c, h = jax.lax.fori_loop(
+            0, gx_ref.shape[0], step, (c_ref[:], h_ref[:]))
+        c_ref[:] = c
+        h_ref[:] = h
+
+        @pl.when(blk == nblk - 1)
+        def _():
+            cfin_ref[:] = c
+            hfin_ref[:] = h
+
+    return kernel
+
+
+def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
+                     use_proj, cdt):
+    """Reverse-time backward: recomputes gate activations from the stored
+    previous-step states, accumulates weight grads in scratch."""
+    h4 = 4 * num_units
+
+    def kernel(gx_ref, mask_ref, cprev_ref, hprev_ref,
+               whf_ref, whb_ref, projf_ref, projb_ref,
+               wi_ref, wf_ref, wo_ref, dout_ref, dcfin_ref, dhfin_ref,
+               dgx_ref, dwhf_ref, dwhb_ref, dprojf_ref, dprojb_ref,
+               dwi_ref, dwf_ref, dwo_ref,
+               dc_ref, dh_ref, awhf_ref, awhb_ref, aprojf_ref,
+               aprojb_ref, awi_ref, awf_ref, awo_ref):
+        blk = pl.program_id(0)
+        nblk = pl.num_programs(0)
+
+        @pl.when(blk == 0)
+        def _():
+            # reverse sweep starts from the final-state cotangents
+            dc_ref[:] = dcfin_ref[:]
+            dh_ref[:] = dhfin_ref[:]
+            awhf_ref[:] = jnp.zeros_like(awhf_ref)
+            awhb_ref[:] = jnp.zeros_like(awhb_ref)
+            if use_proj:
+                aprojf_ref[:] = jnp.zeros_like(aprojf_ref)
+                aprojb_ref[:] = jnp.zeros_like(aprojb_ref)
+            if use_peep:
+                awi_ref[:] = jnp.zeros_like(awi_ref)
+                awf_ref[:] = jnp.zeros_like(awf_ref)
+                awo_ref[:] = jnp.zeros_like(awo_ref)
+
+        def step(tt, carry):
+            dc, dh = carry                       # [2B, H], [2B, P]
+            c_prev = cprev_ref[tt].astype(jnp.float32)
+            h_prev = hprev_ref[tt].astype(jnp.float32)
+            m = mask_ref[tt]                     # [2B, 1]
+
+            # --- recompute forward step t ---
+            hf = h_prev[:batch].astype(cdt)
+            hb = h_prev[batch:].astype(cdt)
+            rec_f = jax.lax.dot_general(
+                hf, whf_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rec_b = jax.lax.dot_general(
+                hb, whb_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gates = gx_ref[tt].astype(jnp.float32) \
+                + jnp.concatenate([rec_f, rec_b], axis=0)
+            i = gates[:, 0 * num_units:1 * num_units]
+            j = gates[:, 1 * num_units:2 * num_units]
+            f = gates[:, 2 * num_units:3 * num_units]
+            o = gates[:, 3 * num_units:4 * num_units]
+            if use_peep:
+                i = i + wi_ref[:] * c_prev
+                f = f + wf_ref[:] * c_prev
+            si = _sigmoid(i)
+            tj = jnp.tanh(j)
+            sf = _sigmoid(f + forget_bias)
+            c_new = sf * c_prev + si * tj
+            if use_peep:
+                o = o + wo_ref[:] * c_new
+            so = _sigmoid(o)
+            tc = jnp.tanh(c_new)
+            out_blk = so * tc                    # pre-projection output
+
+            # --- backward through step t ---
+            # h_next = m*out_p + (1-m)*h_prev; emitted out = m*out_p
+            dout_p = m * (dout_ref[tt].astype(jnp.float32) + dh)
+            dh_prev = (1.0 - m) * dh
+            if use_proj:
+                db_f = jax.lax.dot_general(     # dout_blk = dout_p @ Pᵀ
+                    dout_p[:batch].astype(cdt), projf_ref[:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db_b = jax.lax.dot_general(
+                    dout_p[batch:].astype(cdt), projb_ref[:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dout_blk = jnp.concatenate([db_f, db_b], axis=0)
+                aprojf_ref[:] += jax.lax.dot_general(  # P̄ += outᵀ dout_p
+                    out_blk[:batch].astype(cdt),
+                    dout_p[:batch].astype(cdt),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                aprojb_ref[:] += jax.lax.dot_general(
+                    out_blk[batch:].astype(cdt),
+                    dout_p[batch:].astype(cdt),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                dout_blk = dout_p
+
+            do = dout_blk * tc * so * (1.0 - so)
+            dc_new = dout_blk * so * (1.0 - tc * tc)
+            # c_next = m*c_new + (1-m)*c_prev
+            dc_new = dc_new + m * dc
+            dc_prev_carry = (1.0 - m) * dc
+            if use_peep:
+                dc_new = dc_new + do * wo_ref[:]
+                awo_ref[:] += do * c_new        # per-row: tile's VJP sums
+            df = dc_new * c_prev * sf * (1.0 - sf)
+            di = dc_new * tj * si * (1.0 - si)
+            dj = dc_new * si * (1.0 - tj * tj)
+            dc_prev = dc_new * sf + dc_prev_carry
+            if use_peep:
+                dc_prev = dc_prev + df * wf_ref[:] + di * wi_ref[:]
+                awi_ref[:] += di * c_prev
+                awf_ref[:] += df * c_prev
+
+            dgates = jnp.concatenate([di, dj, df, do], axis=1)  # [2B,4H]
+            dgx_ref[tt] = dgates.astype(dgx_ref.dtype)
+            # dh_prev += dgates @ whᵀ ; wh̄ += h_prevᵀ @ dgates
+            dh_f = jax.lax.dot_general(
+                dgates[:batch].astype(cdt), whf_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_b = jax.lax.dot_general(
+                dgates[batch:].astype(cdt), whb_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_prev = dh_prev + jnp.concatenate([dh_f, dh_b], axis=0)
+            awhf_ref[:] += jax.lax.dot_general(
+                hf, dgates[:batch].astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            awhb_ref[:] += jax.lax.dot_general(
+                hb, dgates[batch:].astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dc_prev, dh_prev
+
+        # iterate tt = Tb-1 .. 0 within the (reverse-ordered) block
+        def rev_step(k, carry):
+            return step(gx_ref.shape[0] - 1 - k, carry)
+
+        dc, dh = jax.lax.fori_loop(
+            0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]))
+        dc_ref[:] = dc
+        dh_ref[:] = dh
+
+        @pl.when(blk == nblk - 1)
+        def _():
+            dwhf_ref[:] = awhf_ref[:]
+            dwhb_ref[:] = awhb_ref[:]
+            if use_proj:
+                dprojf_ref[:] = aprojf_ref[:]
+                dprojb_ref[:] = aprojb_ref[:]
+            if use_peep:
+                dwi_ref[:] = awi_ref[:]
+                dwf_ref[:] = awf_ref[:]
+                dwo_ref[:] = awo_ref[:]
+
+    return kernel
+
+
+def _pad_time(x, padded_t):
+    pad = padded_t - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
+                use_peep, use_proj, cdt_name, time_block, interpret):
+    cdt = jnp.dtype(cdt_name)
+    h4 = 4 * num_units
+    b2 = 2 * batch
+    padded_t = -(-time_steps // time_block) * time_block
+    nblk = padded_t // time_block
+    store_dt = jnp.dtype(cdt_name)  # per-step states stored compactly
+
+    fwd_kernel = _make_fwd_kernel(batch, num_units, out_dim, forget_bias,
+                                  use_peep, use_proj, cdt)
+    bwd_kernel = _make_bwd_kernel(batch, num_units, out_dim, forget_bias,
+                                  use_peep, use_proj, cdt)
+
+    tb_spec = lambda width, dtype=None: pl.BlockSpec(
+        (time_block, b2, width), lambda t: (t, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def pallas_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=(nblk,),
+            in_specs=[tb_spec(h4), tb_spec(1)] + [full()] * 7,
+            out_specs=[tb_spec(out_dim), tb_spec(num_units),
+                       tb_spec(out_dim), full(), full()],
+            out_shape=[
+                jax.ShapeDtypeStruct((padded_t, b2, out_dim), jnp.float32),
+                jax.ShapeDtypeStruct((padded_t, b2, num_units), store_dt),
+                jax.ShapeDtypeStruct((padded_t, b2, out_dim), store_dt),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((b2, out_dim), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((b2, num_units), jnp.float32),
+                            pltpu.VMEM((b2, out_dim), jnp.float32)],
+            interpret=interpret,
+        )(gx, mask, whf, whb, projf, projb, wi, wf, wo)
+        return outs
+
+    # backward walks time blocks in REVERSE grid order (within-block
+    # reversal happens in the kernel's fori loop)
+    rev_spec = lambda width: pl.BlockSpec(
+        (time_block, b2, width), lambda t, n=nblk: (n - 1 - t, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    def pallas_bwd(gx, mask, c_prev_all, h_prev_all, whf, whb, projf,
+                   projb, wi, wf, wo, dout, dcfin, dhfin):
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(nblk,),
+            in_specs=([rev_spec(h4), rev_spec(1), rev_spec(num_units),
+                       rev_spec(out_dim)] + [full()] * 7
+                      + [rev_spec(out_dim), full(), full()]),
+            out_specs=[rev_spec(h4)] + [full()] * 7,
+            out_shape=[
+                jax.ShapeDtypeStruct((padded_t, b2, h4), cdt),
+                jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
+                jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
+                jax.ShapeDtypeStruct((num_units, out_dim), jnp.float32),
+                jax.ShapeDtypeStruct((num_units, out_dim), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b2, num_units), jnp.float32),
+                pltpu.VMEM((b2, out_dim), jnp.float32),
+                pltpu.VMEM((out_dim, h4), jnp.float32),
+                pltpu.VMEM((out_dim, h4), jnp.float32),
+                pltpu.VMEM((num_units, out_dim), jnp.float32),
+                pltpu.VMEM((num_units, out_dim), jnp.float32),
+                pltpu.VMEM((b2, num_units), jnp.float32),
+                pltpu.VMEM((b2, num_units), jnp.float32),
+                pltpu.VMEM((b2, num_units), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gx, mask, c_prev_all, h_prev_all, whf, whb, projf, projb,
+          wi, wf, wo, dout, dcfin, dhfin)
+        return outs
+
+    @jax.custom_vjp
+    def fused(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+        out, _, _, cfin, hfin = pallas_fwd(gx, mask, whf, whb, projf,
+                                           projb, wi, wf, wo)
+        return out[:time_steps], cfin, hfin
+
+    def fused_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+        out, c_all, h_all, cfin, hfin = pallas_fwd(
+            gx, mask, whf, whb, projf, projb, wi, wf, wo)
+        res = (gx, mask, c_all, h_all, whf, whb, projf, projb, wi, wf, wo)
+        return (out[:time_steps], cfin, hfin), res
+
+    def fused_bwd(res, cots):
+        dout, dcfin, dhfin = cots
+        (gx, mask, c_all, h_all, whf, whb, projf, projb, wi, wf,
+         wo) = res
+        # previous-step states: shift right by one, zeros at t=0
+        zero_c = jnp.zeros((1,) + c_all.shape[1:], c_all.dtype)
+        zero_h = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
+        c_prev = jnp.concatenate([zero_c, c_all[:-1]], axis=0)
+        h_prev = jnp.concatenate([zero_h, h_all[:-1]], axis=0)
+        dout_p = _pad_time(dout.astype(jnp.float32),
+                           c_all.shape[0])
+        (dgx, dwhf, dwhb, dprojf, dprojb, dwi, dwf, dwo) = pallas_bwd(
+            gx, mask, c_prev, h_prev, whf, whb, projf, projb, wi, wf, wo,
+            dout_p, dcfin.astype(jnp.float32), dhfin.astype(jnp.float32))
+        dgx = dgx.astype(gx.dtype)
+        return (dgx, jnp.zeros_like(mask),
+                dwhf.astype(whf.dtype), dwhb.astype(whb.dtype),
+                dprojf.astype(projf.dtype), dprojb.astype(projb.dtype),
+                dwi.astype(wi.dtype), dwf.astype(wf.dtype),
+                dwo.astype(wo.dtype))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
+                           sequence_length, forget_bias,
+                           compute_dtype=None, time_block=TIME_BLOCK,
+                           interpret=False):
+    """Drop-in fused replacement for cells.bilstm_dual_scan.
+
+    Returns (fw_out [B,T,P], bw_out [B,T,P] reversed, (fw_state,
+    bw_state)) with identical semantics (peepholes, forget bias,
+    projection, dynamic_rnn masking, TF gate order).
+    """
+    batch, time_steps, _ = x.shape
+    num_units = fw_params["bias"].shape[0] // 4
+    use_proj = "proj" in fw_params
+    use_peep = "w_i_diag" in fw_params
+    out_dim = fw_params["proj"].shape[1] if use_proj else num_units
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None \
+        else jnp.dtype(x.dtype)
+
+    # input projection for the whole sequence: one large MXU matmul
+    wx = jnp.stack([fw_params["wx"], bw_params["wx"]]).astype(cdt)
+    bias = jnp.stack([fw_params["bias"], bw_params["bias"]])
+    x2 = jnp.stack([x, x_rev]).astype(cdt)                  # [2, B, T, D]
+    gx = jnp.einsum("kbtd,kdh->tkbh", x2, wx,
+                    preferred_element_type=jnp.float32) \
+        + bias[None, :, None, :]                            # [T, 2, B, 4H]
+    gx = gx.reshape(time_steps, 2 * batch, 4 * num_units).astype(cdt)
+
+    mask = (jnp.arange(time_steps)[:, None]
+            < sequence_length[None, :]).astype(jnp.float32)  # [T, B]
+    mask2 = jnp.tile(mask, (1, 2))[:, :, None]               # [T, 2B, 1]
+
+    padded_t = -(-time_steps // time_block) * time_block
+    gx = _pad_time(gx, padded_t)
+    mask2 = _pad_time(mask2, padded_t)
+
+    def p2(name):
+        shape_one = fw_params.get(name)
+        if shape_one is None:
+            z = jnp.zeros((1, num_units), jnp.float32)
+            return z, z
+        if shape_one.ndim == 1:
+            return (fw_params[name].reshape(1, -1).astype(jnp.float32),
+                    bw_params[name].reshape(1, -1).astype(jnp.float32))
+        return (fw_params[name].astype(cdt), bw_params[name].astype(cdt))
+
+    whf, whb = fw_params["wh"].astype(cdt), bw_params["wh"].astype(cdt)
+    if use_proj:
+        projf = fw_params["proj"].astype(cdt)
+        projb = bw_params["proj"].astype(cdt)
+    else:
+        projf = projb = jnp.zeros((num_units, out_dim), cdt)
+    wi_f, wi_b = p2("w_i_diag")
+    wf_f, wf_b = p2("w_f_diag")
+    wo_f, wo_b = p2("w_o_diag")
+    wi = jnp.concatenate([jnp.tile(wi_f, (batch, 1)),
+                          jnp.tile(wi_b, (batch, 1))], axis=0)
+    wf = jnp.concatenate([jnp.tile(wf_f, (batch, 1)),
+                          jnp.tile(wf_b, (batch, 1))], axis=0)
+    wo = jnp.concatenate([jnp.tile(wo_f, (batch, 1)),
+                          jnp.tile(wo_b, (batch, 1))], axis=0)
+
+    fused = _make_fused(time_steps, batch, num_units, out_dim,
+                        float(forget_bias), use_peep, use_proj,
+                        jnp.dtype(cdt).name, time_block, bool(interpret))
+    out, cfin, hfin = fused(gx, mask2, whf, whb, projf, projb,
+                            wi, wf, wo)
+
+    out = out.reshape(time_steps, 2, batch, out_dim)
+    outputs = jnp.moveaxis(out, 0, 2)                       # [2, B, T, P]
+    fw_state = (cfin[:batch], hfin[:batch])
+    bw_state = (cfin[batch:], hfin[batch:])
+    return outputs[0], outputs[1], (fw_state, bw_state)

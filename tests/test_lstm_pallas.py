@@ -1,0 +1,89 @@
+"""Fused Pallas BLSTM whole-sequence kernel vs the XLA dual scan.
+
+Values AND gradients (inputs, recurrent/projection/peephole weights,
+through the input-projection to wx/bias) must match the lax.scan
+reference for masked variable-length batches.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lstm_ctc_tpu.models.cells import bilstm_dual_scan, init_lstm_cell
+from lstm_ctc_tpu.ops.lstm_pallas import bilstm_dual_scan_fused
+
+FORGET_BIAS = 5.0
+
+
+def make_case(seed, batch=4, time_steps=37, dim=12, units=16, proj=8,
+              peepholes=True):
+    rng = np.random.RandomState(seed)
+    fw = init_lstm_cell(jax.random.PRNGKey(seed), dim, units,
+                        num_proj=proj, use_peepholes=peepholes)
+    bw = init_lstm_cell(jax.random.PRNGKey(seed + 100), dim, units,
+                        num_proj=proj, use_peepholes=peepholes)
+    x = jnp.asarray(rng.randn(batch, time_steps, dim).astype(np.float32))
+    seq_len = jnp.asarray(
+        rng.randint(time_steps // 2, time_steps + 1, batch), jnp.int32)
+    from lstm_ctc_tpu.models.cells import reverse_sequence
+    x_rev = reverse_sequence(x, seq_len)
+    return fw, bw, x, x_rev, seq_len
+
+
+@pytest.mark.parametrize("seed,peep,proj", [(0, True, 8), (1, False, 8),
+                                            (2, True, None)])
+def test_fused_matches_scan_outputs(seed, peep, proj):
+    fw, bw, x, x_rev, seq_len = make_case(seed, peepholes=peep, proj=proj)
+    ref = bilstm_dual_scan(fw, bw, x, x_rev, seq_len, FORGET_BIAS)
+    got = bilstm_dual_scan_fused(fw, bw, x, x_rev, seq_len, FORGET_BIAS,
+                                 time_block=8, interpret=True)
+    for g, r, name in [(got[0], ref[0], "fw_out"),
+                       (got[1], ref[1], "bw_out"),
+                       (got[2][0][0], ref[2][0][0], "fw_c"),
+                       (got[2][0][1], ref[2][0][1], "fw_h"),
+                       (got[2][1][0], ref[2][1][0], "bw_c"),
+                       (got[2][1][1], ref[2][1][1], "bw_h")]:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_fused_matches_scan_grads():
+    fw, bw, x, x_rev, seq_len = make_case(3)
+
+    def loss(fn, fw, bw, x):
+        from lstm_ctc_tpu.models.cells import reverse_sequence
+        x_rev = reverse_sequence(x, seq_len)
+        fw_out, bw_out, (fs, bs) = fn(fw, bw, x, x_rev, seq_len,
+                                      FORGET_BIAS)
+        return (jnp.sum(jnp.sin(fw_out)) + jnp.sum(jnp.cos(bw_out))
+                + jnp.sum(fs[0] * 0.1) + jnp.sum(bs[1] * 0.2))
+
+    ref_grads = jax.grad(
+        lambda fw, bw, x: loss(bilstm_dual_scan, fw, bw, x),
+        argnums=(0, 1, 2))(fw, bw, x)
+    got_grads = jax.grad(
+        lambda fw, bw, x: loss(
+            lambda *a, **k: bilstm_dual_scan_fused(
+                *a, time_block=8, interpret=True, **k), fw, bw, x),
+        argnums=(0, 1, 2))(fw, bw, x)
+
+    flat_ref, tree_ref = jax.tree_util.tree_flatten_with_path(ref_grads)
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(got_grads)
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5,
+            err_msg=str(path))
+
+
+def test_fused_masking_zeroes_padding():
+    fw, bw, x, x_rev, seq_len = make_case(4, batch=3, time_steps=20)
+    seq_len = jnp.asarray([20, 11, 0], jnp.int32)
+    from lstm_ctc_tpu.models.cells import reverse_sequence
+    x_rev = reverse_sequence(x, seq_len)
+    fw_out, bw_out, _ = bilstm_dual_scan_fused(
+        fw, bw, x, x_rev, seq_len, FORGET_BIAS, time_block=8,
+        interpret=True)
+    assert np.all(np.asarray(fw_out)[1, 11:] == 0.0)
+    assert np.all(np.asarray(fw_out)[2] == 0.0)
+    assert np.all(np.asarray(bw_out)[1, 11:] == 0.0)
