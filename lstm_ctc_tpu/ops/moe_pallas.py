@@ -135,16 +135,20 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             a = a * _mask(seed_ref, nblk, eblk)
         return a, th
 
-    def _fwd_kernel(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
-                    out_ref):
+    def _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
+                  out_ref, th_ref=None):
         eblk = pl.program_id(1)
 
         @pl.when(eblk == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        a, _ = _expert_tile(x_ref, w_ref, b_ref, seed_ref,
-                            pl.program_id(0), eblk)
+        a, th = _expert_tile(x_ref, w_ref, b_ref, seed_ref,
+                             pl.program_id(0), eblk)
+        if th_ref is not None:
+            # stash tanh activations so the backward kernel skips the
+            # expert-matmul recompute (bf16 HBM round-trip ≪ matmul)
+            th_ref[:] = th.astype(th_ref.dtype)
         grep = jax.lax.dot_general(          # [Nb, Ep] @ [Ep, Cb] R-block
             gate_ref[:].astype(cdt), r_ref[:],
             (((1,), (0,)), ((), ())),
@@ -154,7 +158,17 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def _bwd_kernel(seed_ref, x_ref, w_ref, b_ref, gate_ref, gout_ref,
+    def _fwd_kernel(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
+                    out_ref):
+        _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
+                  out_ref)
+
+    def _fwd_kernel_res(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref,
+                        s_ref, out_ref, th_ref):
+        _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
+                  out_ref, th_ref)
+
+    def _bwd_kernel(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
                     r_ref, s_ref, dx_ref, dgate_ref, dz_ref):
         nblk = pl.program_id(0)
         eblk = pl.program_id(1)
@@ -164,7 +178,10 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             dx_ref[:] = jnp.zeros_like(dx_ref)
             dgate_ref[:] = jnp.zeros_like(dgate_ref)
 
-        a, th = _expert_tile(x_ref, w_ref, b_ref, seed_ref, nblk, eblk)
+        th = th_ref[:].astype(jnp.float32)
+        a = tau * th
+        if dropout:
+            a = a * _mask(seed_ref, nblk, eblk)
         # q[n, c] = gout[n, class(c)]  (broadcast into segments)
         q = jax.lax.dot_general(
             gout_ref[:].astype(cdt), s_ref[:],
@@ -193,11 +210,20 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
     r_mat = r_mat.astype(cdt)          # numpy cast (ml_dtypes bfloat16)
     s_mat = s_mat.astype(cdt)
 
-    def _pallas_fwd(x, w, b, gate, seed):
+    def _pallas_fwd(x, w, b, gate, seed, with_residuals):
         np_ = x.shape[0]
         grid = (np_ // n_block, ep // eb)
+        out_specs = pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((np_, v), jnp.float32)
+        if with_residuals:
+            out_specs = [out_specs,
+                         pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                                      memory_space=pltpu.VMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((np_, cp), cdt)]
         return pl.pallas_call(
-            _fwd_kernel,
+            _fwd_kernel_res if with_residuals else _fwd_kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -213,25 +239,22 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((np_, v), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(seed, x, w, b, gate, r_mat, s_mat)
 
-    def _pallas_bwd(x, w, b, gate, seed, gout):
-        np_ = x.shape[0]
+    def _pallas_bwd(th, w, gate, seed, gout):
+        np_ = th.shape[0]
         grid = (np_ // n_block, ep // eb)
         return pl.pallas_call(
             _bwd_kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cb), lambda n, e: (0, e),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
@@ -255,18 +278,19 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 jax.ShapeDtypeStruct((np_, cp), cdt),
             ],
             interpret=interpret,
-        )(seed, x, w, b, gate, gout, r_mat, s_mat)
+        )(seed, th, w, gate, gout, r_mat, s_mat)
 
     @jax.custom_vjp
     def fused(x, w, b, gate, seed):
-        return _pallas_fwd(x, w, b, gate, seed)
+        return _pallas_fwd(x, w, b, gate, seed, with_residuals=False)
 
     def fused_fwd(x, w, b, gate, seed):
-        return _pallas_fwd(x, w, b, gate, seed), (x, w, b, gate, seed)
+        out, th = _pallas_fwd(x, w, b, gate, seed, with_residuals=True)
+        return out, (x, w, gate, seed, th)
 
     def fused_bwd(res, gout):
-        x, w, b, gate, seed = res
-        dx, dgate, dz = _pallas_bwd(x, w, b, gate, seed, gout)
+        x, w, gate, seed, th = res
+        dx, dgate, dz = _pallas_bwd(th, w, gate, seed, gout)
         # weight/bias grads: plain MXU matmul over the emitted dz —
         # cheaper in XLA than a third kernel pass
         dw = jax.lax.dot_general(
