@@ -103,12 +103,23 @@ def label_smoothing_reg(logits: jnp.ndarray, config: Dict) -> List:
 
 
 def _use_fused_lstm() -> bool:
-    """Pallas whole-sequence BLSTM kernel vs the XLA dual scan.  Opt-in
-    via LSTM_CTC_TPU_LSTM_IMPL=pallas (or interpret-mode testing);
-    'auto' currently keeps the XLA scan pending on-chip A/B results."""
+    """Pallas whole-sequence BLSTM kernel vs the XLA dual scan.
+
+    On-chip A/B (docs/BENCHMARKS.md): the fused kernel trains the
+    flagship at 529k frames/s vs 415k for the XLA scan, so 'auto'
+    selects it on a single-device TPU.  On CPU the scan is faster than
+    interpret-mode Pallas; on a multi-device mesh the train step is a
+    GSPMD-partitioned jit and XLA replicates (all-gathers) custom calls
+    it cannot partition, so the scan is kept there until the kernel is
+    invoked under shard_map (ROADMAP).  Force with
+    LSTM_CTC_TPU_LSTM_IMPL=pallas|scan."""
     import os
     impl = os.environ.get("LSTM_CTC_TPU_LSTM_IMPL", "auto")
-    return impl == "pallas"
+    if impl == "pallas":
+        return True
+    if impl == "scan":
+        return False
+    return jax.default_backend() != "cpu" and jax.device_count() == 1
 
 
 def apply_blstm(params: Dict,

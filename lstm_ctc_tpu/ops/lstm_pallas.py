@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TIME_BLOCK = 16
+TIME_BLOCK = 32
 
 
 def _sigmoid(x):
@@ -274,13 +274,18 @@ def _pad_time(x, padded_t):
 
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
-                use_peep, use_proj, cdt_name, time_block, interpret):
+                use_peep, use_proj, cdt_name, store_name, time_block,
+                interpret):
     cdt = jnp.dtype(cdt_name)
     h4 = 4 * num_units
     b2 = 2 * batch
     padded_t = -(-time_steps // time_block) * time_block
     nblk = padded_t // time_block
-    store_dt = jnp.dtype(cdt_name)  # per-step states stored compactly
+    # Per-step (c, h) remat states and the emitted dgates stream through
+    # HBM at [T, 2B, ·]; storing them in bf16 halves that traffic and
+    # measured +6% train throughput (docs/BENCHMARKS.md).  f32 is used by
+    # the exact-parity tests.
+    store_dt = jnp.dtype(store_name)
 
     fwd_kernel = _make_fwd_kernel(batch, num_units, out_dim, forget_bias,
                                   use_peep, use_proj, cdt)
@@ -291,6 +296,14 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
         (time_block, b2, width), lambda t: (t, 0, 0),
         memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # The backward kernel's streamed blocks (gx, dgx, states, dout) plus
+    # weight/accumulator residents overflow the default 16 MB scoped-VMEM
+    # budget once double-buffering is counted; v5e has 128 MB, so raise
+    # the per-kernel cap instead of shrinking the time block.
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),  # sequential carry over blocks
+        vmem_limit_bytes=100 * 1024 * 1024)
 
     def pallas_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
         outs = pl.pallas_call(
@@ -308,6 +321,7 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
             ],
             scratch_shapes=[pltpu.VMEM((b2, num_units), jnp.float32),
                             pltpu.VMEM((b2, out_dim), jnp.float32)],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(gx, mask, whf, whb, projf, projb, wi, wf, wo)
         return outs
@@ -328,7 +342,7 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                       + [rev_spec(out_dim), full(), full()]),
             out_specs=[rev_spec(h4)] + [full()] * 7,
             out_shape=[
-                jax.ShapeDtypeStruct((padded_t, b2, h4), cdt),
+                jax.ShapeDtypeStruct((padded_t, b2, h4), store_dt),
                 jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
                 jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
                 jax.ShapeDtypeStruct((num_units, out_dim), jnp.float32),
@@ -348,6 +362,7 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 pltpu.VMEM((b2, num_units), jnp.float32),
                 pltpu.VMEM((b2, num_units), jnp.float32),
             ],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(gx, mask, c_prev_all, h_prev_all, whf, whb, projf, projb,
           wi, wf, wo, dout, dcfin, dhfin)
@@ -390,17 +405,32 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
     return fused
 
 
+def _auto_time_block(batch):
+    """Largest time block whose double-buffered backward streams fit the
+    raised VMEM cap: the streamed block is tb*2B rows; tb*2B = 2048
+    measures ~50 MB at H=P=320 (fits), while 4096 rows overflowed the
+    100 MB cap (B=64, tb=32), so bound tb*2B <= 2048."""
+    tb = 2048 // (2 * batch)
+    return max(4, min(32, 1 << (tb.bit_length() - 1) if tb > 0 else 4))
+
+
 def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
                            sequence_length, forget_bias,
-                           compute_dtype=None, time_block=TIME_BLOCK,
-                           interpret=False):
+                           compute_dtype=None, time_block=None,
+                           store_dtype="bfloat16", interpret=False):
     """Drop-in fused replacement for cells.bilstm_dual_scan.
 
     Returns (fw_out [B,T,P], bw_out [B,T,P] reversed, (fw_state,
     bw_state)) with identical semantics (peepholes, forget bias,
     projection, dynamic_rnn masking, TF gate order).
+
+    ``store_dtype`` sets the precision of the per-step remat states and
+    the emitted dgates stream (the backward's HBM traffic); bf16 is the
+    shipped default, f32 gives bit-level parity with the scan autodiff.
     """
     batch, time_steps, _ = x.shape
+    if time_block is None:
+        time_block = _auto_time_block(batch)
     num_units = fw_params["bias"].shape[0] // 4
     use_proj = "proj" in fw_params
     use_peep = "w_i_diag" in fw_params
@@ -453,7 +483,8 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
 
     fused = _make_fused(time_steps, batch, num_units, out_dim,
                         float(forget_bias), use_peep, use_proj,
-                        jnp.dtype(cdt).name, time_block, bool(interpret))
+                        jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
+                        time_block, bool(interpret))
     out, cfin, hfin = fused(gx, mask2, whf, whb, projf, projb,
                             wi, wf, wo)
 

@@ -48,7 +48,17 @@ def test_fused_matches_scan_outputs(seed, peep, proj):
                                    rtol=1e-5, atol=1e-5, err_msg=name)
 
 
-def test_fused_matches_scan_grads():
+@pytest.mark.parametrize("store_dtype,rtol,atol_scale", [
+    # f32 remat states: bit-level agreement with the scan autodiff
+    ("float32", 2e-4, 2e-5),
+    # bf16 remat states + dgates stream (the shipped default): the
+    # recomputed gate activations carry bf16 rounding and the weight
+    # grads sum T*B bf16 dgates (with cancellation), so agreement is
+    # ~bf16-precision relative to each leaf's gradient SCALE — atol is
+    # atol_scale * max|ref| per leaf
+    ("bfloat16", 8e-2, 3e-3),
+])
+def test_fused_matches_scan_grads(store_dtype, rtol, atol_scale):
     fw, bw, x, x_rev, seq_len = make_case(3)
 
     def loss(fn, fw, bw, x):
@@ -65,15 +75,17 @@ def test_fused_matches_scan_grads():
     got_grads = jax.grad(
         lambda fw, bw, x: loss(
             lambda *a, **k: bilstm_dual_scan_fused(
-                *a, time_block=8, interpret=True, **k), fw, bw, x),
+                *a, time_block=8, store_dtype=store_dtype,
+                interpret=True, **k), fw, bw, x),
         argnums=(0, 1, 2))(fw, bw, x)
 
     flat_ref, tree_ref = jax.tree_util.tree_flatten_with_path(ref_grads)
     flat_got, _ = jax.tree_util.tree_flatten_with_path(got_grads)
     for (path, r), (_, g) in zip(flat_ref, flat_got):
+        r = np.asarray(r)
+        atol = atol_scale * max(np.max(np.abs(r)), 1.0)
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5,
-            err_msg=str(path))
+            np.asarray(g), r, rtol=rtol, atol=atol, err_msg=str(path))
 
 
 def test_fused_masking_zeroes_padding():
