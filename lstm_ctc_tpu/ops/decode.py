@@ -79,7 +79,25 @@ def beam_search_decode(log_probs: np.ndarray,
     """CTC prefix beam search over one utterance's [T, V] log-posteriors.
 
     Returns up to ``top_paths`` label sequences, most probable first.
+    Dispatches to the native C++ implementation (native/src/ctc_beam.cc,
+    orders of magnitude faster on real test sets) when built; this
+    Python body is the semantic specification and the fallback.
     """
+    from .beam_native import available, beam_search_decode_native
+    if available():
+        return beam_search_decode_native(
+            log_probs, beam_width=beam_width, blank_id=blank_id,
+            top_paths=top_paths)
+    return beam_search_decode_py(
+        log_probs, beam_width=beam_width, blank_id=blank_id,
+        top_paths=top_paths)
+
+
+def beam_search_decode_py(log_probs: np.ndarray,
+                          beam_width: int = 10,
+                          blank_id: Optional[int] = None,
+                          top_paths: int = 1) -> List[List[int]]:
+    """Pure-Python prefix beam search (the specification)."""
     log_probs = np.asarray(log_probs)
     num_classes = log_probs.shape[1]
     if blank_id is None:
