@@ -21,6 +21,7 @@ from lstm_ctc_tpu.cli import (
     init_from_config,
     log_invocation,
     make_shard_fn,
+    run_with_backend_retry,
     str2bool,
 )
 from lstm_ctc_tpu.data import iterate_batches
@@ -92,4 +93,4 @@ if __name__ == "__main__":
                         default=16, help="inference batch size.")
     args = parser.parse_args()
     log_invocation()
-    main(args)
+    run_with_backend_retry(lambda: main(args), what="nnet-decode")

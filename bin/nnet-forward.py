@@ -35,6 +35,7 @@ from lstm_ctc_tpu.cli import (
     init_from_config,
     log_invocation,
     make_shard_fn,
+    run_with_backend_retry,
     str2bool,
 )
 from lstm_ctc_tpu.data import iterate_batches, scan_scp
@@ -157,4 +158,4 @@ if __name__ == "__main__":
                         default=32, help="streaming chunk size (frames).")
     args = parser.parse_args()
     log_invocation()
-    main(args)
+    run_with_backend_retry(lambda: main(args), what="nnet-forward")

@@ -95,3 +95,61 @@ def check_objective_and_type(args, config: Dict) -> None:
     if nnet_type not in ("blstm", "cudnnlstm", "lstm"):
         log.fatal("unsupported nnet_type: %s" % nnet_type)
         sys.exit(1)
+
+
+# Error-message substrings that mark a *transient* accelerator-runtime
+# failure (the axon remote-TPU tunnel surfaces chip contention and broken
+# connections as opaque runtime errors).  Model-side failures (NaN loss,
+# shape errors, OOM-on-HBM) never match these.
+_TRANSIENT_BACKEND_MARKERS = (
+    "FAILED_PRECONDITION",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "ABORTED",
+    "remote_compile",
+    "Connection reset",
+    "Socket closed",
+    "connection refused",
+    "tpu_compile_helper",
+)
+
+
+def is_transient_backend_error(exc: BaseException) -> bool:
+    if not type(exc).__name__.endswith(
+            ("JaxRuntimeError", "XlaRuntimeError")):
+        return False
+    msg = str(exc)
+    return any(marker in msg for marker in _TRANSIENT_BACKEND_MARKERS)
+
+
+def run_with_backend_retry(fn, *, what: str = "job"):
+    """Run ``fn()`` to completion, re-running it when the accelerator
+    runtime fails transiently (chip contention / tunnel drops on the
+    remote-TPU transport).
+
+    The outer training scripts' NaN-retry (scripts/train_oplr.sh) only
+    catches the in-band NaN contract; a backend crash otherwise kills
+    the epoch and the whole run.  Each retry restarts ``fn`` from
+    scratch — CLIs are one-epoch/one-pass processes whose only side
+    effect is the final artifact write, so a restart is idempotent.
+    ``LSTM_CTC_TPU_BACKEND_RETRIES`` (default 2) bounds the retries;
+    0 disables.
+    """
+    import time
+
+    retries = int(os.environ.get("LSTM_CTC_TPU_BACKEND_RETRIES", "2"))
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 - classified below
+            if attempt >= retries or not is_transient_backend_error(exc):
+                raise
+            attempt += 1
+            delay = 10.0 * attempt
+            log.warning(
+                "transient backend error during %s (attempt %d/%d, "
+                "retrying in %.0fs): %s"
+                % (what, attempt, retries, delay,
+                   str(exc).splitlines()[0][:300]))
+            time.sleep(delay)
