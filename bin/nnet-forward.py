@@ -90,7 +90,8 @@ def main(args):
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             need_labels=False)
-    shard_fn, _ = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn(args.batch_size)
+    config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
 
     @jax.jit
     def forward(nnet_input, sequence_length):

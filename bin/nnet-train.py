@@ -43,7 +43,8 @@ def main(args):
         args.nnet_in, template_params, template_state)
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size)
-    shard_fn, _ = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn(args.batch_size)
+    config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     init_opt, train_step = make_train_step(
         config,
         learn_rate=args.learn_rate,

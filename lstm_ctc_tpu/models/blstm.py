@@ -102,24 +102,37 @@ def label_smoothing_reg(logits: jnp.ndarray, config: Dict) -> List:
     return reg_losses
 
 
-def _use_fused_lstm() -> bool:
+def _fused_lstm_mode(config, batch):
     """Pallas whole-sequence BLSTM kernel vs the XLA dual scan.
 
+    Returns ``None`` (use the scan), ``"direct"`` (call the fused kernel
+    — single device), or ``"sharded"`` (invoke it per-shard under
+    shard_map over ``config["mesh"]``).
+
     On-chip A/B (docs/BENCHMARKS.md): the fused kernel trains the
-    flagship at 529k frames/s vs 415k for the XLA scan, so 'auto'
-    selects it on a single-device TPU.  On CPU the scan is faster than
-    interpret-mode Pallas; on a multi-device mesh the train step is a
-    GSPMD-partitioned jit and XLA replicates (all-gathers) custom calls
-    it cannot partition, so the scan is kept there until the kernel is
-    invoked under shard_map (ROADMAP).  Force with
+    flagship at 558k frames/s vs 415k for the XLA scan, so 'auto'
+    selects it on TPU.  On CPU the scan beats interpret-mode Pallas.  On
+    a multi-device mesh a raw pallas_call inside the GSPMD jit would be
+    replicated (XLA cannot partition custom calls), so the kernel runs
+    under shard_map when the CLI provided the mesh and the batch axis
+    divides it; otherwise the scan is kept.  Force with
     LSTM_CTC_TPU_LSTM_IMPL=pallas|scan."""
     import os
     impl = os.environ.get("LSTM_CTC_TPU_LSTM_IMPL", "auto")
-    if impl == "pallas":
-        return True
     if impl == "scan":
-        return False
-    return jax.default_backend() != "cpu" and jax.device_count() == 1
+        return None
+    if impl != "pallas" and jax.default_backend() == "cpu":
+        return None
+    mesh = config.get("mesh")
+    if mesh is not None and mesh.devices.size > 1:
+        if batch % mesh.devices.size != 0:
+            return None  # replicated (indivisible) batch → scan
+        return "sharded"
+    if impl != "pallas" and jax.device_count() > 1:
+        # devices present but no mesh provided: a raw custom call under
+        # GSPMD would be all-gathered; keep the scan
+        return None
+    return "direct"
 
 
 def apply_blstm(params: Dict,
@@ -137,12 +150,19 @@ def apply_blstm(params: Dict,
         str(config.get("compute_dtype", "")).lower())
 
     scan_fn = bilstm_dual_scan
-    if _use_fused_lstm():
-        from ..ops.lstm_pallas import bilstm_dual_scan_fused
+    fused_mode = _fused_lstm_mode(config, nnet_input.shape[0])
+    if fused_mode is not None:
         import functools
-        scan_fn = functools.partial(
-            bilstm_dual_scan_fused,
-            interpret=jax.default_backend() == "cpu")
+        interpret = jax.default_backend() == "cpu"
+        if fused_mode == "sharded":
+            from ..ops.lstm_pallas import bilstm_dual_scan_sharded
+            scan_fn = functools.partial(
+                bilstm_dual_scan_sharded, config["mesh"],
+                interpret=interpret)
+        else:
+            from ..ops.lstm_pallas import bilstm_dual_scan_fused
+            scan_fn = functools.partial(
+                bilstm_dual_scan_fused, interpret=interpret)
 
     finput = nnet_input
     binput = reverse_sequence(nnet_input, sequence_length)

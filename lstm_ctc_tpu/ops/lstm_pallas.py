@@ -493,3 +493,38 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     fw_state = (cfin[:batch], hfin[:batch])
     bw_state = (cfin[batch:], hfin[batch:])
     return outputs[0], outputs[1], (fw_state, bw_state)
+
+
+def bilstm_dual_scan_sharded(mesh, fw_params, bw_params, x, x_rev,
+                             sequence_length, forget_bias,
+                             compute_dtype=None, time_block=None,
+                             store_dtype="bfloat16", interpret=False):
+    """Data-parallel wrapper: runs the fused kernel once per mesh shard.
+
+    GSPMD cannot partition a custom call, so inside a jit over a
+    multi-device mesh the raw ``pallas_call`` would be all-gathered onto
+    every device.  ``shard_map`` splits the batch axis explicitly: each
+    device runs the whole-sequence kernel on its local rows with the
+    weights replicated; shard_map's transpose psums the weight cotangents
+    across the mesh, which is exactly the DP gradient all-reduce.
+
+    Requires ``x.shape[0] % mesh.size == 0`` (callers fall back to the
+    XLA scan otherwise).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    dp, rep = P(axis), P()
+
+    def per_shard(fw_p, bw_p, xs, xrs, sl):
+        return bilstm_dual_scan_fused(
+            fw_p, bw_p, xs, xrs, sl, forget_bias,
+            compute_dtype=compute_dtype, time_block=time_block,
+            store_dtype=store_dtype, interpret=interpret)
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, dp, dp, dp),
+        out_specs=(dp, dp, ((dp, dp), (dp, dp))),
+        check_vma=False,
+    )(fw_params, bw_params, x, x_rev, sequence_length)

@@ -95,3 +95,50 @@ def test_indivisible_batch_replicates():
     batch = make_batch(batch=10)  # 10 % 8 != 0
     device_batch = shard_batch(mesh, batch)
     assert device_batch["nnet_input"].sharding.spec == P()
+
+
+def test_sharded_fused_kernel_matches_scan(monkeypatch):
+    """The fused Pallas kernel under shard_map (the multi-device fast
+    path) must match the XLA-scan DP step: same loss, same updated
+    params.  Runs interpret-mode Pallas on the virtual CPU mesh with f32
+    remat storage for scan-precision tolerances."""
+    import functools
+    from lstm_ctc_tpu.ops import lstm_pallas
+
+    monkeypatch.setattr(
+        lstm_pallas, "bilstm_dual_scan_sharded",
+        functools.partial(lstm_pallas.bilstm_dual_scan_sharded,
+                          store_dtype="float32"))
+
+    mesh = get_mesh()
+    config = dict(CONFIG, mesh=mesh)
+    batch = make_batch()
+    params, net_state = init_model(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(np.asarray, params)
+    rng = jax.random.PRNGKey(7)
+    replicated = NamedSharding(mesh, P())
+
+    def run(impl):
+        monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", impl)
+        # fresh train step per impl: the env var is read at trace time
+        init_opt, train_step = make_train_step(config, learn_rate=1e-2,
+                                               optimizer="adam")
+        p = jax.device_put(params, replicated)
+        o = init_opt(p)
+        s = jax.device_put(net_state, replicated)
+        for _ in range(2):
+            p, o, s, m = train_step(p, o, s,
+                                    jax.device_put(rng, replicated),
+                                    shard_batch(mesh, batch))
+        return p, m
+
+    p_scan, m_scan = run("scan")
+    p_fused, m_fused = run("pallas")
+
+    np.testing.assert_allclose(float(m_scan["eval_loss"]),
+                               float(m_fused["eval_loss"]), rtol=1e-5)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_scan),
+            jax.tree_util.tree_leaves_with_path(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
