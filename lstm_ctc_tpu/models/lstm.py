@@ -29,6 +29,29 @@ import jax
 import jax.numpy as jnp
 
 from .cells import dropout, init_lstm_cell, lstm_scan, truncated_normal
+
+
+def _make_scan_fn(config, batch):
+    """Unidirectional scan dispatch, mirroring blstm: the fused Pallas
+    whole-sequence kernel on TPU (per-shard under shard_map on meshes),
+    the XLA scan on CPU / odd batches / replicated fallbacks."""
+    from .blstm import _fused_lstm_mode
+    mode = _fused_lstm_mode(config, batch)
+    if mode is None or batch % 2 != 0:
+        return lstm_scan
+    import functools
+
+    import jax as _jax
+
+    interpret = _jax.default_backend() == "cpu"
+    if mode == "sharded":
+        if (batch // config["mesh"].devices.size) % 2 != 0:
+            return lstm_scan  # per-shard batch must stay even
+        from ..ops.lstm_pallas import lstm_scan_sharded
+        return functools.partial(lstm_scan_sharded, config["mesh"],
+                                 interpret=interpret)
+    from ..ops.lstm_pallas import lstm_scan_fused
+    return functools.partial(lstm_scan_fused, interpret=interpret)
 from .moe import apply_moe, init_moe
 
 BN_MOMENTUM = 0.99
@@ -126,10 +149,11 @@ def apply_lstm(params: Dict,
     if dims["use_bn"]:
         x, new_state["bn_in"] = _apply_bn(
             params["bn_in"], state["bn_in"], x, train)
+    scan_fn = _make_scan_fn(config, x.shape[0])
     for i in range(dims["num_layers"]):
         residual = not (i == 0 and dims["input_dim"] != dims["output_dim"])
-        out, _ = lstm_scan(params["layers"][i], x, sequence_length,
-                           forget_bias=1.0)
+        out, _ = scan_fn(params["layers"][i], x, sequence_length,
+                         forget_bias=1.0)
         if residual:
             out = out + x                  # ResidualWrapper, lstm.py:250-258
         if keep_prob < 1.0 and dropout_rng is not None:
@@ -183,8 +207,9 @@ def apply_cudnnlstm(params: Dict,
                     dropout_rng=None):
     dims = _dims(config)
     x = nnet_input
+    scan_fn = _make_scan_fn(config, x.shape[0])
     for cell in params["layers"]:
-        x, _ = lstm_scan(cell, x, sequence_length, forget_bias=1.0)
+        x, _ = scan_fn(cell, x, sequence_length, forget_bias=1.0)
     batch, time_steps, _ = x.shape
     flat = x.reshape(batch * time_steps, dims["num_neurons"])
     y = flat @ params["head"]["w"] + params["head"]["b"]

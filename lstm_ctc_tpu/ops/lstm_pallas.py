@@ -528,3 +528,87 @@ def bilstm_dual_scan_sharded(mesh, fw_params, bw_params, x, x_rev,
         out_specs=(dp, dp, ((dp, dp), (dp, dp))),
         check_vma=False,
     )(fw_params, bw_params, x, x_rev, sequence_length)
+
+
+def lstm_scan_fused(params, x, sequence_length, forget_bias=1.0,
+                    compute_dtype=None, time_block=None,
+                    store_dtype="bfloat16", interpret=False):
+    """Unidirectional fused whole-sequence scan (models/cells.lstm_scan
+    semantics — reference nnet/lstm.py:233-295 stack cells).
+
+    Reuses the dual-direction kernel by splitting the batch into two
+    half-batch "rows groups" that share the same weights: the kernel's
+    two per-step matmuls then each process half the batch, which is
+    identical math to one full-batch matmul.  Requires an even batch and
+    zero initial state; callers fall back to the XLA scan otherwise.
+
+    Returns (outputs [B, T, P], (c_final [B, H], h_final [B, P])).
+    """
+    batch, time_steps, _ = x.shape
+    if batch % 2 != 0:
+        raise ValueError("lstm_scan_fused requires an even batch")
+    half = batch // 2
+    num_units = params["bias"].shape[0] // 4
+    use_proj = "proj" in params
+    use_peep = "w_i_diag" in params
+    out_dim = params["proj"].shape[1] if use_proj else num_units
+    cdt = jnp.dtype(compute_dtype) if compute_dtype is not None \
+        else jnp.dtype(x.dtype)
+    if time_block is None:
+        time_block = _auto_time_block(half)
+
+    gx = jnp.einsum("btd,dh->tbh", x.astype(cdt),
+                    params["wx"].astype(cdt),
+                    preferred_element_type=jnp.float32) \
+        + params["bias"][None, None, :]                     # [T, B, 4H]
+    gx = gx.astype(cdt)
+    mask = (jnp.arange(time_steps)[:, None]
+            < sequence_length[None, :]).astype(jnp.float32)  # [T, B]
+    mask = mask[:, :, None]
+
+    padded_t = -(-time_steps // time_block) * time_block
+    gx = _pad_time(gx, padded_t)
+    mask = _pad_time(mask, padded_t)
+
+    wh = params["wh"].astype(cdt)
+    proj = params["proj"].astype(cdt) if use_proj \
+        else jnp.zeros((num_units, out_dim), cdt)
+
+    def peep(name):
+        v = params.get(name)
+        if v is None:
+            return jnp.zeros((batch, num_units), jnp.float32)
+        return jnp.tile(v.reshape(1, -1).astype(jnp.float32), (batch, 1))
+
+    fused = _make_fused(time_steps, half, num_units, out_dim,
+                        float(forget_bias), use_peep, use_proj,
+                        jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
+                        time_block, bool(interpret))
+    out, cfin, hfin = fused(gx, mask, wh, wh, proj, proj,
+                            peep("w_i_diag"), peep("w_f_diag"),
+                            peep("w_o_diag"))
+    return jnp.moveaxis(out, 0, 1), (cfin, hfin)
+
+
+def lstm_scan_sharded(mesh, params, x, sequence_length, forget_bias=1.0,
+                      compute_dtype=None, time_block=None,
+                      store_dtype="bfloat16", interpret=False):
+    """Data-parallel wrapper for lstm_scan_fused (see
+    bilstm_dual_scan_sharded for why shard_map is required)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    dp, rep = P(axis), P()
+
+    def per_shard(p, xs, sl):
+        return lstm_scan_fused(
+            p, xs, sl, forget_bias, compute_dtype=compute_dtype,
+            time_block=time_block, store_dtype=store_dtype,
+            interpret=interpret)
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, dp, dp),
+        out_specs=(dp, (dp, dp)),
+        check_vma=False,
+    )(params, x, sequence_length)

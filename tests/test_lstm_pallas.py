@@ -99,3 +99,55 @@ def test_fused_masking_zeroes_padding():
     assert np.all(np.asarray(fw_out)[1, 11:] == 0.0)
     assert np.all(np.asarray(fw_out)[2] == 0.0)
     assert np.all(np.asarray(bw_out)[1, 11:] == 0.0)
+
+
+@pytest.mark.parametrize("peep,proj", [(True, 8), (False, None)])
+def test_unidirectional_fused_matches_scan(peep, proj):
+    from lstm_ctc_tpu.models.cells import lstm_scan
+    from lstm_ctc_tpu.ops.lstm_pallas import lstm_scan_fused
+
+    rng = np.random.RandomState(11)
+    cell = init_lstm_cell(jax.random.PRNGKey(5), 12, 16, num_proj=proj,
+                          use_peepholes=peep)
+    x = jnp.asarray(rng.randn(6, 23, 12).astype(np.float32))
+    seq_len = jnp.asarray([23, 20, 11, 1, 0, 17], jnp.int32)
+
+    ref_out, (ref_c, ref_h) = lstm_scan(cell, x, seq_len, forget_bias=1.0)
+    got_out, (got_c, got_h) = lstm_scan_fused(
+        cell, x, seq_len, forget_bias=1.0, time_block=8,
+        store_dtype="float32", interpret=True)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unidirectional_fused_grads():
+    from lstm_ctc_tpu.models.cells import lstm_scan
+    from lstm_ctc_tpu.ops.lstm_pallas import lstm_scan_fused
+
+    rng = np.random.RandomState(12)
+    cell = init_lstm_cell(jax.random.PRNGKey(6), 10, 16, num_proj=8,
+                          use_peepholes=True)
+    x = jnp.asarray(rng.randn(4, 19, 10).astype(np.float32))
+    seq_len = jnp.asarray([19, 15, 8, 19], jnp.int32)
+
+    def loss(fn, cell, x):
+        out, (c, h) = fn(cell, x, seq_len, forget_bias=1.0)
+        return (jnp.sum(jnp.sin(out)) + jnp.sum(c * 0.1)
+                + jnp.sum(h * 0.2))
+
+    ref = jax.grad(lambda c, x: loss(lstm_scan, c, x),
+                   argnums=(0, 1))(cell, x)
+    got = jax.grad(lambda c, x: loss(
+        lambda *a, **k: lstm_scan_fused(
+            *a, time_block=8, store_dtype="float32", interpret=True,
+            **k), c, x), argnums=(0, 1))(cell, x)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(ref)
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(got)
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
