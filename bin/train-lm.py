@@ -15,22 +15,26 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from lstm_ctc_tpu.lm import perplexity, train_ngram_lm, write_arpa
-from lstm_ctc_tpu.lm.ngram import read_sentences
+from lstm_ctc_tpu.lm import perplexity, write_arpa
+from lstm_ctc_tpu.lm.ngram import (
+    count_ngrams_file,
+    estimate_from_counts,
+    read_sentences,
+)
 
 
 def main(args):
-    vocab = None
-    if args.wordlist:
-        with open(args.wordlist, encoding="utf-8") as fh:
-            vocab = {line.split()[0] for line in fh if line.split()}
-    sentences = list(read_sentences(args.text,
-                                    kaldi_text=not args.plain_text))
     min_counts = [int(c) for c in args.min_counts.split(",")] \
         if args.min_counts else None
-    lm = train_ngram_lm(sentences, order=args.order, vocab=vocab,
-                        min_counts=min_counts,
-                        prune_threshold=args.prune)
+    # counting runs in C++ (native/build/count-ngrams) when built — the
+    # hot loop for big corpora; estimation on the (cutoff) counts is
+    # Python (lm/ngram.py)
+    raw = count_ngrams_file(args.text, args.order,
+                            vocab_path=args.wordlist,
+                            kaldi_text=not args.plain_text,
+                            min_counts=min_counts)
+    lm = estimate_from_counts(raw, args.order,
+                              prune_threshold=args.prune)
     write_arpa(lm, sys.stdout)
     if args.ppl_text:
         heldout = list(read_sentences(args.ppl_text,

@@ -139,7 +139,16 @@ def train_ngram_lm(sentences: Iterable[Sequence[str]],
             if cutoff > 1:
                 raw[k] = Counter({g: c for g, c in raw[k].items()
                                   if c >= cutoff})
+    return estimate_from_counts(raw, order,
+                                prune_threshold=prune_threshold)
 
+
+def estimate_from_counts(raw, order: int,
+                         prune_threshold: float = 0.0) -> "NgramLm":
+    """Interpolated modified-KN estimation from raw (post-cutoff) counts
+    — ``raw[k]`` is a Counter over k-gram tuples.  This is the
+    interchange point with the native counter (native/src/ngram_count.cc
+    via ``count_ngrams_file``)."""
     # KN continuation counts for orders < N (how many distinct left
     # contexts), raw counts for the highest order; grams starting with
     # <s> keep raw counts (nothing can precede <s>)
@@ -291,3 +300,66 @@ def perplexity(lm: NgramLm, sentences: Iterable[Sequence[str]]) -> float:
         total_logp += lm.sentence_logprob(sent)
         tokens += len(sent) + 1
     return 10.0 ** (-total_logp / max(tokens, 1))
+
+
+def _native_counter_path() -> Optional[str]:
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "native", "build", "count-ngrams")
+    if os.path.exists(path) and \
+            os.environ.get("LSTM_CTC_TPU_NATIVE_COUNTS", "1") != "0":
+        return path
+    return None
+
+
+def count_ngrams_file(path: str, order: int,
+                      vocab_path: Optional[str] = None,
+                      kaldi_text: bool = True,
+                      min_counts: Optional[Sequence[int]] = None):
+    """Count n-grams of a text file: the native C++ counter
+    (native/src/ngram_count.cc) when built — same semantics as
+    ``_count_ngrams``, parity-tested — else the Python path.  Returns the
+    ``raw`` counts structure ``estimate_from_counts`` consumes."""
+    binary = _native_counter_path()
+    if binary is None or path == "-":
+        vocab = None
+        if vocab_path:
+            with open(vocab_path, encoding="utf-8") as fh:
+                vocab = ({line.split()[0] for line in fh if line.split()}
+                         | {BOS, EOS, UNK})
+        raw = _count_ngrams(read_sentences(path, kaldi_text), order, vocab)
+        if min_counts:
+            for k in range(2, order + 1):
+                cutoff = min_counts[k - 1] if k - 1 < len(min_counts) else 1
+                if cutoff > 1:
+                    raw[k] = Counter({g: c for g, c in raw[k].items()
+                                      if c >= cutoff})
+        return raw
+
+    import subprocess
+    cmd = [binary, "--order", str(order)]
+    if kaldi_text:
+        cmd.append("--kaldi-text")
+    if vocab_path:
+        cmd += ["--vocab", vocab_path]
+    if min_counts:
+        cmd += ["--min-counts", ",".join(str(c) for c in min_counts)]
+    if path.endswith(".gz"):
+        # the binary reads plain text; decompress through a pipe
+        import gzip
+        proc = subprocess.Popen(cmd + ["-"], stdin=subprocess.PIPE,
+                                stdout=subprocess.PIPE)
+        with gzip.open(path, "rb") as fh:
+            out, _ = proc.communicate(fh.read())
+    else:
+        proc = subprocess.Popen(cmd + [path], stdout=subprocess.PIPE)
+        out, _ = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError("count-ngrams failed (rc=%d)" % proc.returncode)
+    raw = [Counter() for _ in range(order + 1)]
+    for line in out.decode("utf-8").splitlines():
+        gram_s, _, count_s = line.rpartition("\t")
+        gram = tuple(gram_s.split(" "))
+        raw[len(gram)][gram] = int(count_s)
+    return raw

@@ -152,3 +152,83 @@ def test_train_lm_cli(tmp_path):
     assert out.stdout.startswith("\\data\\")
     assert "\\2-grams:" in out.stdout
     assert "perplexity" in out.stderr
+
+
+def test_native_counter_matches_python(tmp_path):
+    """native/build/count-ngrams must reproduce _count_ngrams exactly
+    (incl. vocab OOV mapping, min-count cutoffs, kaldi id columns)."""
+    import os
+    import numpy as np
+    import pytest as _pytest
+    from lstm_ctc_tpu.lm.ngram import (
+        BOS, EOS, UNK, _count_ngrams, _native_counter_path,
+        count_ngrams_file, read_sentences)
+
+    if _native_counter_path() is None:
+        _pytest.skip("count-ngrams not built")
+
+    rng = np.random.RandomState(0)
+    words = ["w%d" % i for i in range(30)]
+    lines = []
+    for u in range(200):
+        n = rng.randint(1, 12)
+        lines.append("utt%03d %s" % (
+            u, " ".join(rng.choice(words) for _ in range(n))))
+    lines.append("utt_empty")      # id-only line: skipped by both
+    text = tmp_path / "text"
+    text.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    vocab_file = tmp_path / "vocab"
+    vocab_file.write_text("\n".join(words[:20]) + "\n", encoding="utf-8")
+
+    for vocab_path, min_counts in [(None, None),
+                                   (str(vocab_file), None),
+                                   (str(vocab_file), [1, 1, 2])]:
+        native = count_ngrams_file(str(text), 3, vocab_path=vocab_path,
+                                   kaldi_text=True, min_counts=min_counts)
+        os.environ["LSTM_CTC_TPU_NATIVE_COUNTS"] = "0"
+        try:
+            ref = count_ngrams_file(str(text), 3, vocab_path=vocab_path,
+                                    kaldi_text=True,
+                                    min_counts=min_counts)
+        finally:
+            os.environ.pop("LSTM_CTC_TPU_NATIVE_COUNTS")
+        for k in range(1, 4):
+            assert native[k] == ref[k], "order %d, vocab=%s cuts=%s" % (
+                k, vocab_path, min_counts)
+
+
+def test_train_lm_cli_native_and_python_identical(tmp_path):
+    """The full train-lm.py ARPA output must be byte-identical whether
+    counting ran in C++ or Python."""
+    import os
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    import pytest as _pytest
+    from lstm_ctc_tpu.lm.ngram import _native_counter_path
+
+    if _native_counter_path() is None:
+        _pytest.skip("count-ngrams not built")
+
+    rng = np.random.RandomState(7)
+    words = ["a", "b", "c", "d", "e", "f"]
+    text = tmp_path / "text"
+    text.write_text("\n".join(
+        "u%d %s" % (u, " ".join(rng.choice(words)
+                                for _ in range(rng.randint(2, 9))))
+        for u in range(150)) + "\n", encoding="utf-8")
+
+    def run(env_extra):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+        out = subprocess.run(
+            [_sys.executable, "bin/train-lm.py", "--order", "3",
+             "--prune", "1e-8", str(text)],
+            capture_output=True, check=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        return out.stdout
+
+    native = run({})
+    python = run({"LSTM_CTC_TPU_NATIVE_COUNTS": "0"})
+    assert native == python
+    assert b"\\1-grams:" in native
