@@ -42,7 +42,8 @@ def main(args):
     params, net_state, _ = load_checkpoint(
         args.nnet_in, template_params, template_state)
 
-    batcher = build_batcher(args.tfrecords_scp, config, args.batch_size)
+    batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
+                            pack_factor=args.pack_factor)
     shard_fn, mesh = make_shard_fn(args.batch_size)
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     init_opt, train_step = make_train_step(
@@ -112,6 +113,11 @@ if __name__ == "__main__":
                         help="whether to shuffle training data.")
     parser.add_argument("--clip-norm", metavar="gradient clip norm",
                         type=float, default=5.0, help="gradient clip norm")
+    parser.add_argument("--pack-factor", metavar="pack-factor", type=int,
+                        default=1,
+                        help="pack up to N utterances per row with state "
+                             "resets (blstm only; removes bucket-padding "
+                             "waste, one compiled shape).")
     parser.add_argument("--metrics-file", metavar="metrics-file", type=str,
                         default=None,
                         help="append per-step scalar metrics as JSONL.")

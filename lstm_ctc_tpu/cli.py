@@ -50,7 +50,8 @@ def log_invocation() -> None:
 
 
 def build_batcher(records_scp: str, config: Dict, batch_size: int,
-                  need_labels: bool = True) -> BucketedBatcher:
+                  need_labels: bool = True,
+                  pack_factor: int = 1) -> BucketedBatcher:
     metas = scan_scp(records_scp)
     label_lengths = None
     if need_labels and metas and metas[0].has_label:
@@ -62,6 +63,7 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
         right_context=config.get("right_context", 0) or 0,
         subsample=config.get("subsample", 0) or 0,
         label_lengths=label_lengths,
+        pack_factor=pack_factor,
     )
 
 
@@ -71,12 +73,17 @@ def make_shard_fn(batch_size: int):
     mesh = get_mesh()
 
     def shard_fn(batch):
-        return shard_batch(mesh, {
+        arrays = {
             "nnet_input": batch.nnet_input,
             "sequence_length": batch.sequence_length,
             "nnet_target": batch.nnet_target,
             "target_length": batch.target_length,
-        })
+        }
+        if getattr(batch, "reset_mask", None) is not None:
+            arrays["reset_mask"] = batch.reset_mask
+            arrays["utt_time_index"] = batch.utt_time_index
+            arrays["utt_sequence_length"] = batch.utt_sequence_length
+        return shard_batch(mesh, arrays)
 
     return shard_fn, mesh
 

@@ -83,12 +83,24 @@ class Bucket:
 @dataclass
 class Batch:
     """One padded batch of host arrays, contract-named like the reference
-    pipeline dict (reference nnet/pipeline.py:59-64)."""
+    pipeline dict (reference nnet/pipeline.py:59-64).
+
+    With multi-utterance row packing (``pack_factor > 1``) each row holds
+    several utterances back-to-back and the optional fields below carry
+    the packing structure: ``reset_mask`` [B, T] marks segment starts
+    (the model zeroes its recurrent carry there), and the per-utterance
+    view (``utt_time_index`` [N, T_u] flat indices into the row-major
+    [B·T] frames, ``utt_sequence_length`` [N]) lets the CTC loss see each
+    packed utterance exactly as if it had its own row; ``nnet_target`` /
+    ``target_length`` are then per-utterance [N, U] / [N]."""
     nnet_input: np.ndarray       # [B, T, D] float32
     sequence_length: np.ndarray  # [B] int32 (0 for padding rows)
-    nnet_target: np.ndarray      # [B, U] int32, padded with -1
-    target_length: np.ndarray    # [B] int32
+    nnet_target: np.ndarray      # [B or N, U] int32, padded with -1
+    target_length: np.ndarray    # [B or N] int32
     keys: List[str] = field(default_factory=list)
+    reset_mask: Optional[np.ndarray] = None          # [B, T] float32
+    utt_time_index: Optional[np.ndarray] = None      # [N, T_u] int32
+    utt_sequence_length: Optional[np.ndarray] = None  # [N] int32
 
     @property
     def size(self) -> int:
@@ -109,12 +121,14 @@ class BucketedBatcher:
                  subsample: int = 0,
                  time_quant: int = DEFAULT_TIME_QUANT,
                  label_quant: int = DEFAULT_LABEL_QUANT,
-                 label_lengths: Optional[Sequence[int]] = None):
+                 label_lengths: Optional[Sequence[int]] = None,
+                 pack_factor: int = 1):
         self.metas = list(metas)
         self.batch_size = batch_size
         self.left_context = left_context
         self.right_context = right_context
         self.subsample = subsample
+        self.pack_factor = max(1, int(pack_factor or 1))
         if not self.metas:
             raise ValueError("empty dataset")
         self.input_dim = self.metas[0].num_cols * (
@@ -138,12 +152,62 @@ class BucketedBatcher:
         self._lengths = lengths
         self._label_lengths = list(label_lengths)
 
+        # Multi-utterance row packing: ONE row shape for the whole
+        # dataset — rows of row_time frames greedily filled with whole
+        # utterances back-to-back (padding only at the row tail), at most
+        # pack_factor utterances per row.  Removes per-bucket padding
+        # waste and shrinks the compiled-shape set to one.
+        if self.pack_factor > 1:
+            self.row_time = _quantize(max(lengths), time_quant, time_quant)
+            self.row_label = _quantize(
+                max(label_lengths) if label_lengths else 0,
+                label_quant, label_quant)
+
     def shapes(self) -> List:
+        if self.pack_factor > 1:
+            return [(self.row_time, self.row_label)]
         return [(b.time_steps, b.label_steps) for b in self.buckets]
 
     def batch_plan(self, shuffle: bool, seed: Optional[int]):
-        """Partition utterance indices into (bucket_index, indices) batches."""
+        """Partition utterance indices into (bucket_index, indices) batches.
+        In packed mode entries are (-1, rows) where rows is a list of
+        per-row utterance-index lists."""
         rng = np.random.RandomState(seed if seed is not None else 0)
+        if self.pack_factor > 1:
+            order = list(range(len(self.metas)))
+            if shuffle:
+                rng.shuffle(order)
+            else:
+                # without shuffling, longest-first gives the densest rows
+                order.sort(key=lambda i: -self._lengths[i])
+            # windowed best-fit: each row starts with the next utterance
+            # in (shuffled) order, then greedily pulls the LARGEST
+            # still-fitting utterance from a small lookahead window —
+            # measured fill ~0.73 (plain greedy) → ~0.95+ while keeping
+            # batch composition stochastic under shuffle
+            window = 256
+            pool = list(reversed(order))       # pop() takes the next
+            rows: List[List[int]] = []
+            while pool:
+                cur = [pool.pop()]
+                space = self.row_time - self._lengths[cur[0]]
+                while len(cur) < self.pack_factor and pool and space > 0:
+                    lo = max(0, len(pool) - window)
+                    best, best_len = -1, 0
+                    for j in range(len(pool) - 1, lo - 1, -1):
+                        t_len = self._lengths[pool[j]]
+                        if best_len < t_len <= space:
+                            best, best_len = j, t_len
+                    if best < 0:
+                        break
+                    cur.append(pool.pop(best))
+                    space -= best_len
+                rows.append(cur)
+            plan = [(-1, rows[s:s + self.batch_size])
+                    for s in range(0, len(rows), self.batch_size)]
+            if shuffle:
+                rng.shuffle(plan)
+            return plan
         plan = []
         for bucket_idx, bucket in enumerate(self.buckets):
             members = list(bucket.member_indices)
@@ -156,11 +220,71 @@ class BucketedBatcher:
             rng.shuffle(plan)
         return plan
 
+    def _assemble_packed(self, rows: List[List[int]], loader) -> Batch:
+        """Assemble one packed batch: rows of utterances back-to-back.
+
+        N = batch_size * pack_factor utterance slots; unused slots have
+        utt_sequence_length 0 / target_length 0 and contribute neither
+        loss nor gradient (the CTC infeasible-pair path).  The
+        per-utterance time index is a flat gather into the row-major
+        [B·T] frame axis, clipped to the owning row."""
+        batch_b, t_row = self.batch_size, self.row_time
+        num_slots = batch_b * self.pack_factor
+        feats = np.zeros((batch_b, t_row, self.input_dim), dtype=np.float32)
+        seq_len = np.zeros((batch_b,), dtype=np.int32)
+        reset = np.zeros((batch_b, t_row), dtype=np.float32)
+        targets = np.full((num_slots, self.row_label), -1, dtype=np.int32)
+        tgt_len = np.zeros((num_slots,), dtype=np.int32)
+        utt_seq = np.zeros((num_slots,), dtype=np.int32)
+        # default: every slot gathers frame 0 of its batch — harmless for
+        # dummy slots (zero-length ⇒ zero loss/grad)
+        utt_idx = np.zeros((num_slots, t_row), dtype=np.int32)
+        keys: List[str] = []
+        native = hasattr(loader, "load_row")
+        arange_t = np.arange(t_row, dtype=np.int32)
+        slot = 0
+        for row, members in enumerate(rows):
+            offset = 0
+            for idx in members:
+                meta = self.metas[idx]
+                want = self._lengths[idx]
+                if native:
+                    t_len, label_len = loader.load_row(
+                        meta, self.left_context, self.right_context,
+                        self.subsample, feats[row, offset:offset + want],
+                        targets[slot])
+                    tgt_len[slot] = label_len
+                    keys.append(meta.key)
+                else:
+                    key, mat, labels = loader.load(meta)
+                    mat = splice_frames(mat, self.left_context,
+                                        self.right_context)
+                    mat = subsample_frames(mat, self.subsample)
+                    t_len = mat.shape[0]
+                    feats[row, offset:offset + t_len] = mat
+                    if labels is not None and len(labels):
+                        targets[slot, :len(labels)] = labels
+                        tgt_len[slot] = len(labels)
+                    keys.append(key)
+                reset[row, offset] = 1.0
+                utt_seq[slot] = t_len
+                utt_idx[slot] = np.minimum(
+                    offset + arange_t, t_row - 1) + row * t_row
+                offset += t_len
+                slot += 1
+            seq_len[row] = offset
+        return Batch(feats, seq_len, targets, tgt_len, keys,
+                     reset_mask=reset, utt_time_index=utt_idx,
+                     utt_sequence_length=utt_seq)
+
     def assemble(self, bucket_idx: int, indices: List[int],
                  loader) -> Batch:
         """Load, transform and pad a batch given utterance indices (all from
         one bucket).  ``loader`` is a RecordLoader (numpy path) or a
-        native_loader.NativeRecordLoader (fused C++ path)."""
+        native_loader.NativeRecordLoader (fused C++ path).  In packed mode
+        (bucket_idx == -1) ``indices`` is the per-row grouping instead."""
+        if bucket_idx == -1:
+            return self._assemble_packed(indices, loader)
         bucket = self.buckets[bucket_idx]
         batch_b = self.batch_size
         t_pad, u_pad = bucket.time_steps, bucket.label_steps

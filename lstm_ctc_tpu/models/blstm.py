@@ -28,6 +28,7 @@ from .cells import (
     bilstm_dual_scan,
     dropout,
     init_lstm_cell,
+    reverse_segments,
     reverse_sequence,
     truncated_normal,
 )
@@ -140,14 +141,26 @@ def apply_blstm(params: Dict,
                 sequence_length: jnp.ndarray,
                 config: Dict,
                 train: bool = False,
-                dropout_rng=None) -> Tuple[jnp.ndarray, jnp.ndarray, List]:
+                dropout_rng=None,
+                reset_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, List]:
     """nnet_input: [B, T, D·ctx] (already spliced) → (logits [B, T, V],
-    encoder [B, 2(H+P)·2], reg_losses)."""
+    encoder [B, 2(H+P)·2], reg_losses).
+
+    ``reset_mask`` [B, T] marks the first frame of each segment when rows
+    pack multiple utterances (data/pipeline.py pack_factor): the LSTM
+    carry is zeroed there and the backward direction reverses each
+    segment in place, so every packed utterance computes exactly what it
+    would in its own row."""
     dims = _model_dims(config)
     keep_prob = float(config.get("dropout_rate", 1.0)) if train else 1.0
     num_layers = dims["num_layers"]
     compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
         str(config.get("compute_dtype", "")).lower())
+
+    if reset_mask is None:
+        rev = lambda v: reverse_sequence(v, sequence_length)
+    else:
+        rev = lambda v: reverse_segments(v, sequence_length, reset_mask)
 
     scan_fn = bilstm_dual_scan
     fused_mode = _fused_lstm_mode(config, nnet_input.shape[0])
@@ -165,23 +178,24 @@ def apply_blstm(params: Dict,
                 bilstm_dual_scan_fused, interpret=interpret)
 
     finput = nnet_input
-    binput = reverse_sequence(nnet_input, sequence_length)
+    binput = rev(nnet_input)
     fw_state = bw_state = None
     for i in range(num_layers):
         fw_out, bw_out, (fw_state, bw_state) = scan_fn(
             params["fwd"][i], params["bwd"][i], finput, binput,
-            sequence_length, FORGET_BIAS, compute_dtype=compute_dtype)
+            sequence_length, FORGET_BIAS, compute_dtype=compute_dtype,
+            reset_mask=reset_mask)
         if keep_prob < 1.0 and dropout_rng is not None:
             dropout_rng, k_f, k_b = jax.random.split(dropout_rng, 3)
             fw_out = dropout(k_f, fw_out, keep_prob)
             bw_out = dropout(k_b, bw_out, keep_prob)
-        rev_bw = reverse_sequence(bw_out, sequence_length)
+        rev_bw = rev(bw_out)
         cat = jnp.concatenate([fw_out, rev_bw], axis=2)
         if i == 0 and dims["input_dim"] == dims["output_dim"]:
             finput = finput + cat          # bilstm.py:199-200
         else:
             finput = cat
-        binput = reverse_sequence(finput, sequence_length)
+        binput = rev(finput)
 
     encoder = jnp.concatenate(
         [fw_state[0], fw_state[1], bw_state[0], bw_state[1]], axis=1)

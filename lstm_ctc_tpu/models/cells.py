@@ -123,7 +123,8 @@ def bilstm_dual_scan(fw_params: Dict,
                      x_rev: jnp.ndarray,
                      sequence_length: jnp.ndarray,
                      forget_bias: float = 1.0,
-                     compute_dtype=None):
+                     compute_dtype=None,
+                     reset_mask=None):
     """Run the forward and backward cells of one BLSTM layer in a single
     scan.  The two directions are independent within a layer, so batching
     them halves the number of sequential scan steps — the dominant cost on
@@ -164,10 +165,26 @@ def bilstm_dual_scan(fw_params: Dict,
 
     mask = (jnp.arange(time_steps)[:, None]
             < sequence_length[None, :]).astype(x.dtype)      # [T, B]
+    # multi-utterance row packing: reset_mask [B, T] is 1.0 at the first
+    # frame of each packed segment — the carried state is zeroed there so
+    # every segment starts from the zero initial state, exactly as if it
+    # had its own row
+    has_reset = reset_mask is not None
+    if has_reset:
+        keep = 1.0 - jnp.transpose(reset_mask).astype(x.dtype)  # [T, B]
+        xs_extra = (keep,)
+    else:
+        xs_extra = ()
 
     def step(carry, inputs):
         c, h = carry                                          # [2, B, H/P]
-        g_x, m = inputs                                       # [T-slice]
+        if has_reset:
+            g_x, m, kp = inputs
+            kp = kp[None, :, None]
+            c = kp * c
+            h = kp * h
+        else:
+            g_x, m = inputs                                   # [T-slice]
         gates = g_x + jnp.einsum("kbp,kph->kbh", h.astype(cdt), wh,
                                  preferred_element_type=jnp.float32)
         i, j, f, o = jnp.split(gates, 4, axis=-1)
@@ -195,7 +212,7 @@ def bilstm_dual_scan(fw_params: Dict,
     # sequential recurrence): remat+unroll together ~30% step time on
     # v5e; unroll 8 measured ~3% over 4, 16 regressed.
     (c_final, h_final), outputs = jax.lax.scan(
-        jax.checkpoint(step), init, (gates_x, mask), unroll=8)
+        jax.checkpoint(step), init, (gates_x, mask) + xs_extra, unroll=8)
     outputs = jnp.moveaxis(outputs, 0, 2)                     # [2, B, T, P]
     fw_state = (c_final[0], h_final[0])
     bw_state = (c_final[1], h_final[1])
@@ -220,3 +237,25 @@ def dropout(rng, x: jnp.ndarray, keep_prob: float) -> jnp.ndarray:
         return x
     keep = jax.random.bernoulli(rng, keep_prob, x.shape)
     return jnp.where(keep, x / keep_prob, 0.0)
+
+
+def reverse_segments(x: jnp.ndarray,
+                     sequence_length: jnp.ndarray,
+                     reset_mask: jnp.ndarray) -> jnp.ndarray:
+    """Segment-wise ``reverse_sequence`` for multi-utterance packed rows:
+    each packed segment (delimited by ``reset_mask`` starts) is reversed
+    in place; padding past ``sequence_length`` stays put.  With a single
+    segment per row this reduces to ``reverse_sequence``."""
+    batch, time_steps = x.shape[0], x.shape[1]
+    t = jnp.arange(time_steps)[None, :]
+    r = reset_mask > 0.5
+    start = jax.lax.cummax(jnp.where(r, t, 0), axis=1)
+    nxt = jnp.where(r, t, time_steps)
+    nxt_after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((batch, 1), time_steps, nxt.dtype)], axis=1)
+    nxt_after = jax.lax.cummin(nxt_after, axis=1, reverse=True)
+    end = jnp.minimum(nxt_after, sequence_length[:, None])
+    idx = jnp.where(t < sequence_length[:, None], start + end - 1 - t, t)
+    idx = jnp.clip(idx, 0, time_steps - 1)
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)

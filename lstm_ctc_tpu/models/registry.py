@@ -26,9 +26,10 @@ def _init_blstm(rng, config):
 
 
 def _apply_blstm(params, state, nnet_input, sequence_length, config,
-                 train=False, dropout_rng=None):
+                 train=False, dropout_rng=None, reset_mask=None):
     logits, encoder, reg = _blstm.apply_blstm(
-        params, nnet_input, sequence_length, config, train, dropout_rng)
+        params, nnet_input, sequence_length, config, train, dropout_rng,
+        reset_mask=reset_mask)
     return logits, encoder, reg, state
 
 
@@ -37,7 +38,11 @@ def _init_lstm(rng, config):
 
 
 def _apply_lstm(params, state, nnet_input, sequence_length, config,
-                train=False, dropout_rng=None):
+                train=False, dropout_rng=None, reset_mask=None):
+    if reset_mask is not None:
+        raise NotImplementedError(
+            "pack_factor (packed rows) is only supported for nnet_type "
+            "blstm")
     logits, encoder, reg, new_state = _lstm.apply_lstm(
         params, state, nnet_input, sequence_length, config, train,
         dropout_rng)
@@ -49,7 +54,11 @@ def _init_cudnnlstm(rng, config):
 
 
 def _apply_cudnnlstm(params, state, nnet_input, sequence_length, config,
-                     train=False, dropout_rng=None):
+                     train=False, dropout_rng=None, reset_mask=None):
+    if reset_mask is not None:
+        raise NotImplementedError(
+            "pack_factor (packed rows) is only supported for nnet_type "
+            "blstm")
     logits, encoder, reg = _lstm.apply_cudnnlstm(
         params, nnet_input, sequence_length, config, train, dropout_rng)
     return logits, encoder, reg, state
@@ -75,7 +84,8 @@ def init_model(rng, config: Dict) -> Tuple[Dict, Dict]:
 
 
 def apply_model(params, state, nnet_input, sequence_length, config,
-                train=False, dropout_rng=None):
+                train=False, dropout_rng=None, reset_mask=None):
     _, apply_fn = get_model(config["nnet_type"])
     return apply_fn(params, state, nnet_input, sequence_length, config,
-                    train=train, dropout_rng=dropout_rng)
+                    train=train, dropout_rng=dropout_rng,
+                    reset_mask=reset_mask)

@@ -39,7 +39,7 @@ def _sigmoid(x):
 
 
 def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
-                     use_proj, cdt):
+                     use_proj, cdt, use_reset=False):
     h4 = 4 * num_units
 
     def kernel(gx_ref, mask_ref, whf_ref, whb_ref, projf_ref, projb_ref,
@@ -56,6 +56,11 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         def step(tt, carry):
             c, h = carry                         # [2B, H], [2B, P]
+            if use_reset:
+                # packed rows: zero the carry at segment starts
+                kp = mask_ref[tt][:, 1:2]
+                c = kp * c
+                h = kp * h
             hf = h[:batch].astype(cdt)
             hb = h[batch:].astype(cdt)
             rec_f = jax.lax.dot_general(
@@ -88,7 +93,7 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                         out[batch:].astype(cdt), projb_ref[:],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)], axis=0)
-            m = mask_ref[tt]                     # [2B, 1]
+            m = mask_ref[tt][:, 0:1]             # [2B, 1]
             c_next = m * c_new + (1.0 - m) * c
             h_next = m * out + (1.0 - m) * h
             out_ref[tt] = (m * out).astype(out_ref.dtype)
@@ -110,9 +115,18 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
 
 def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
-                     use_proj, cdt):
+                     use_proj, cdt, use_reset=False):
     """Reverse-time backward: recomputes gate activations from the stored
-    previous-step states, accumulates weight grads in scratch."""
+    previous-step states.
+
+    The sequential fori loop carries only (dc, dh) and keeps just the six
+    chain-critical matmuls per step (gate recompute ×2, projection dgrad
+    ×2, recurrent dgrad ×2).  Weight-gradient accumulation is hoisted to
+    BLOCK level: the loop stashes the per-step tensors it needs (c_new,
+    pre-projection out, projected-output cotangent) in VMEM scratch, and
+    after the loop one large [tb·B, ·]ᵀ×[tb·B, ·] matmul per direction
+    accumulates wh̄/P̄ (peephole grads reduce elementwise) — big MXU
+    shapes off the latency-bound critical path."""
     h4 = 4 * num_units
 
     def kernel(gx_ref, mask_ref, cprev_ref, hprev_ref,
@@ -121,7 +135,8 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                dgx_ref, dwhf_ref, dwhb_ref, dprojf_ref, dprojb_ref,
                dwi_ref, dwf_ref, dwo_ref,
                dc_ref, dh_ref, awhf_ref, awhb_ref, aprojf_ref,
-               aprojb_ref, awi_ref, awf_ref, awo_ref):
+               aprojb_ref, awi_ref, awf_ref, awo_ref,
+               cnew_ref, outp_ref, doutp_ref):
         blk = pl.program_id(0)
         nblk = pl.num_programs(0)
 
@@ -144,7 +159,13 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
             dc, dh = carry                       # [2B, H], [2B, P]
             c_prev = cprev_ref[tt].astype(jnp.float32)
             h_prev = hprev_ref[tt].astype(jnp.float32)
-            m = mask_ref[tt]                     # [2B, 1]
+            m = mask_ref[tt][:, 0:1]             # [2B, 1]
+            if use_reset:
+                # forward zeroed the carry at segment starts: mirror it
+                # on the recomputed states and on the outgoing cotangents
+                kp = mask_ref[tt][:, 1:2]
+                c_prev = kp * c_prev
+                h_prev = kp * h_prev
 
             # --- recompute forward step t ---
             hf = h_prev[:batch].astype(cdt)
@@ -188,16 +209,8 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dout_blk = jnp.concatenate([db_f, db_b], axis=0)
-                aprojf_ref[:] += jax.lax.dot_general(  # P̄ += outᵀ dout_p
-                    out_blk[:batch].astype(cdt),
-                    dout_p[:batch].astype(cdt),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                aprojb_ref[:] += jax.lax.dot_general(
-                    out_blk[batch:].astype(cdt),
-                    dout_p[batch:].astype(cdt),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                outp_ref[tt] = out_blk
+                doutp_ref[tt] = dout_p
             else:
                 dout_blk = dout_p
 
@@ -208,19 +221,17 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
             dc_prev_carry = (1.0 - m) * dc
             if use_peep:
                 dc_new = dc_new + do * wo_ref[:]
-                awo_ref[:] += do * c_new        # per-row: tile's VJP sums
+                cnew_ref[tt] = c_new
             df = dc_new * c_prev * sf * (1.0 - sf)
             di = dc_new * tj * si * (1.0 - si)
             dj = dc_new * si * (1.0 - tj * tj)
             dc_prev = dc_new * sf + dc_prev_carry
             if use_peep:
                 dc_prev = dc_prev + df * wf_ref[:] + di * wi_ref[:]
-                awi_ref[:] += di * c_prev
-                awf_ref[:] += df * c_prev
 
             dgates = jnp.concatenate([di, dj, df, do], axis=1)  # [2B,4H]
             dgx_ref[tt] = dgates.astype(dgx_ref.dtype)
-            # dh_prev += dgates @ whᵀ ; wh̄ += h_prevᵀ @ dgates
+            # dh_prev += dgates @ whᵀ
             dh_f = jax.lax.dot_general(
                 dgates[:batch].astype(cdt), whf_ref[:],
                 (((1,), (1,)), ((), ())),
@@ -230,14 +241,9 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dh_prev = dh_prev + jnp.concatenate([dh_f, dh_b], axis=0)
-            awhf_ref[:] += jax.lax.dot_general(
-                hf, dgates[:batch].astype(cdt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            awhb_ref[:] += jax.lax.dot_general(
-                hb, dgates[batch:].astype(cdt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if use_reset:
+                dc_prev = kp * dc_prev
+                dh_prev = kp * dh_prev
             return dc_prev, dh_prev
 
         # iterate tt = Tb-1 .. 0 within the (reverse-ordered) block
@@ -248,6 +254,48 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
             0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]))
         dc_ref[:] = dc
         dh_ref[:] = dh
+
+        # --- block-level weight-gradient accumulation (off the chain) ---
+        tb = gx_ref.shape[0]
+        dg = dgx_ref[:]                                  # [tb, 2B, 4H]
+        dg_f = dg[:, :batch].reshape(tb * batch, h4).astype(cdt)
+        dg_b = dg[:, batch:].reshape(tb * batch, h4).astype(cdt)
+        hp = hprev_ref[:]
+        if use_reset:
+            hp = hp * mask_ref[:][:, :, 1:2].astype(hp.dtype)
+        hp_f = hp[:, :batch].reshape(tb * batch, out_dim).astype(cdt)
+        hp_b = hp[:, batch:].reshape(tb * batch, out_dim).astype(cdt)
+        awhf_ref[:] += jax.lax.dot_general(              # wh̄ += hᵀ dgates
+            hp_f, dg_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        awhb_ref[:] += jax.lax.dot_general(
+            hp_b, dg_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if use_proj:
+            ob = outp_ref[:]
+            dp = doutp_ref[:]
+            ob_f = ob[:, :batch].reshape(tb * batch, num_units).astype(cdt)
+            ob_b = ob[:, batch:].reshape(tb * batch, num_units).astype(cdt)
+            dp_f = dp[:, :batch].reshape(tb * batch, out_dim).astype(cdt)
+            dp_b = dp[:, batch:].reshape(tb * batch, out_dim).astype(cdt)
+            aprojf_ref[:] += jax.lax.dot_general(        # P̄ += outᵀ dout_p
+                ob_f, dp_f, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            aprojb_ref[:] += jax.lax.dot_general(
+                ob_b, dp_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if use_peep:
+            dg32 = dg.astype(jnp.float32)
+            cp32 = cprev_ref[:].astype(jnp.float32)
+            if use_reset:
+                cp32 = cp32 * mask_ref[:][:, :, 1:2]
+            awi_ref[:] += jnp.sum(
+                dg32[:, :, 0 * num_units:1 * num_units] * cp32, axis=0)
+            awf_ref[:] += jnp.sum(
+                dg32[:, :, 2 * num_units:3 * num_units] * cp32, axis=0)
+            awo_ref[:] += jnp.sum(
+                dg32[:, :, 3 * num_units:4 * num_units] * cnew_ref[:],
+                axis=0)
 
         @pl.when(blk == nblk - 1)
         def _():
@@ -275,7 +323,7 @@ def _pad_time(x, padded_t):
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 use_peep, use_proj, cdt_name, store_name, time_block,
-                interpret):
+                interpret, use_reset=False):
     cdt = jnp.dtype(cdt_name)
     h4 = 4 * num_units
     b2 = 2 * batch
@@ -288,9 +336,10 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
     store_dt = jnp.dtype(store_name)
 
     fwd_kernel = _make_fwd_kernel(batch, num_units, out_dim, forget_bias,
-                                  use_peep, use_proj, cdt)
+                                  use_peep, use_proj, cdt, use_reset)
     bwd_kernel = _make_bwd_kernel(batch, num_units, out_dim, forget_bias,
-                                  use_peep, use_proj, cdt)
+                                  use_peep, use_proj, cdt, use_reset)
+    mask_w = 2 if use_reset else 1
 
     tb_spec = lambda width, dtype=None: pl.BlockSpec(
         (time_block, b2, width), lambda t: (t, 0, 0),
@@ -309,7 +358,7 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
         outs = pl.pallas_call(
             fwd_kernel,
             grid=(nblk,),
-            in_specs=[tb_spec(h4), tb_spec(1)] + [full()] * 7,
+            in_specs=[tb_spec(h4), tb_spec(mask_w)] + [full()] * 7,
             out_specs=[tb_spec(out_dim), tb_spec(num_units),
                        tb_spec(out_dim), full(), full()],
             out_shape=[
@@ -337,7 +386,7 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(nblk,),
-            in_specs=([rev_spec(h4), rev_spec(1), rev_spec(num_units),
+            in_specs=([rev_spec(h4), rev_spec(mask_w), rev_spec(num_units),
                        rev_spec(out_dim)] + [full()] * 7
                       + [rev_spec(out_dim), full(), full()]),
             out_specs=[rev_spec(h4)] + [full()] * 7,
@@ -361,6 +410,11 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 pltpu.VMEM((b2, num_units), jnp.float32),
                 pltpu.VMEM((b2, num_units), jnp.float32),
                 pltpu.VMEM((b2, num_units), jnp.float32),
+                # per-step stashes consumed by the block-level wgrad
+                # accumulation after the reverse loop
+                pltpu.VMEM((time_block, b2, num_units), jnp.float32),
+                pltpu.VMEM((time_block, b2, num_units), jnp.float32),
+                pltpu.VMEM((time_block, b2, out_dim), jnp.float32),
             ],
             compiler_params=compiler_params,
             interpret=interpret,
@@ -417,7 +471,8 @@ def _auto_time_block(batch):
 def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
                            sequence_length, forget_bias,
                            compute_dtype=None, time_block=None,
-                           store_dtype="bfloat16", interpret=False):
+                           store_dtype="bfloat16", interpret=False,
+                           reset_mask=None):
     """Drop-in fused replacement for cells.bilstm_dual_scan.
 
     Returns (fw_out [B,T,P], bw_out [B,T,P] reversed, (fw_state,
@@ -450,6 +505,13 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     mask = (jnp.arange(time_steps)[:, None]
             < sequence_length[None, :]).astype(jnp.float32)  # [T, B]
     mask2 = jnp.tile(mask, (1, 2))[:, :, None]               # [T, 2B, 1]
+    use_reset = reset_mask is not None
+    if use_reset:
+        # channel 1 = keep = 1 - reset: the kernel zeroes the carried
+        # state at packed-segment starts (same positions both directions)
+        keep = 1.0 - jnp.transpose(reset_mask).astype(jnp.float32)
+        keep2 = jnp.tile(keep, (1, 2))[:, :, None]           # [T, 2B, 1]
+        mask2 = jnp.concatenate([mask2, keep2], axis=2)      # [T, 2B, 2]
 
     padded_t = -(-time_steps // time_block) * time_block
     gx = _pad_time(gx, padded_t)
@@ -484,7 +546,7 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     fused = _make_fused(time_steps, batch, num_units, out_dim,
                         float(forget_bias), use_peep, use_proj,
                         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
-                        time_block, bool(interpret))
+                        time_block, bool(interpret), use_reset)
     out, cfin, hfin = fused(gx, mask2, whf, whb, projf, projb,
                             wi, wf, wo)
 
@@ -498,7 +560,8 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
 def bilstm_dual_scan_sharded(mesh, fw_params, bw_params, x, x_rev,
                              sequence_length, forget_bias,
                              compute_dtype=None, time_block=None,
-                             store_dtype="bfloat16", interpret=False):
+                             store_dtype="bfloat16", interpret=False,
+                             reset_mask=None):
     """Data-parallel wrapper: runs the fused kernel once per mesh shard.
 
     GSPMD cannot partition a custom call, so inside a jit over a
@@ -516,18 +579,24 @@ def bilstm_dual_scan_sharded(mesh, fw_params, bw_params, x, x_rev,
     axis = mesh.axis_names[0]
     dp, rep = P(axis), P()
 
-    def per_shard(fw_p, bw_p, xs, xrs, sl):
+    def per_shard(fw_p, bw_p, xs, xrs, sl, *rest):
         return bilstm_dual_scan_fused(
             fw_p, bw_p, xs, xrs, sl, forget_bias,
             compute_dtype=compute_dtype, time_block=time_block,
-            store_dtype=store_dtype, interpret=interpret)
+            store_dtype=store_dtype, interpret=interpret,
+            reset_mask=rest[0] if rest else None)
 
+    args = (fw_params, bw_params, x, x_rev, sequence_length)
+    in_specs = (rep, rep, dp, dp, dp)
+    if reset_mask is not None:
+        args += (reset_mask,)
+        in_specs += (dp,)
     return jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(rep, rep, dp, dp, dp),
+        in_specs=in_specs,
         out_specs=(dp, dp, ((dp, dp), (dp, dp))),
         check_vma=False,
-    )(fw_params, bw_params, x, x_rev, sequence_length)
+    )(*args)
 
 
 def lstm_scan_fused(params, x, sequence_length, forget_bias=1.0,

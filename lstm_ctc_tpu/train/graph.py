@@ -62,11 +62,26 @@ def _l2_loss(params) -> jnp.ndarray:
 
 def compute_losses(params, net_state, batch: Dict, config: Dict,
                    train: bool, dropout_rng=None):
-    """Shared forward pass → (metrics dict, logits, new_net_state)."""
+    """Shared forward pass → (metrics dict, logits, new_net_state).
+
+    With multi-utterance packed rows (data/pipeline.py pack_factor) the
+    batch carries ``reset_mask`` (state zeroing at segment starts) and a
+    per-utterance view for the loss: ``utt_time_index`` gathers each
+    packed utterance's frames out of the row-major logits so the CTC sees
+    exactly the per-utterance [N, T_u, V] it would for unpacked rows."""
     logits, _, reg_losses, new_state = apply_model(
         params, net_state, batch["nnet_input"], batch["sequence_length"],
-        config, train=train, dropout_rng=dropout_rng)
-    per_seq = ctc_loss(logits, batch["sequence_length"],
+        config, train=train, dropout_rng=dropout_rng,
+        reset_mask=batch.get("reset_mask"))
+    if "utt_time_index" in batch:
+        num_rows, row_t, vocab = logits.shape
+        flat = logits.reshape(num_rows * row_t, vocab)
+        ctc_logits = flat[batch["utt_time_index"]]       # [N, T_u, V]
+        ctc_seq_len = batch["utt_sequence_length"]
+    else:
+        ctc_logits = logits
+        ctc_seq_len = batch["sequence_length"]
+    per_seq = ctc_loss(ctc_logits, ctc_seq_len,
                        batch["nnet_target"], batch["target_length"])
     eval_loss = jnp.sum(per_seq)
     size = jnp.sum((batch["nnet_target"] >= 0).astype(jnp.int32))

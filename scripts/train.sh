@@ -32,6 +32,7 @@ seed=777
 batch_size=256
 batch_threads=8
 report_interval=100
+train_extra_opts=   # extra nnet-train.py flags, e.g. "--pack-factor 3"
 cv_goal=eval
 num_targets=72
 decode=false
@@ -127,7 +128,7 @@ for iter in $(seq "$max_iter"); do
       --objective "$objective" --learn-rate "$learn_rate" \
       --optimizer "$optimizer" --seed "$iter" --shuffle "$shuffle" \
       --batch-size "$batch_size" --batch-threads "$batch_threads" \
-      --report-interval "$report_interval" \
+      --report-interval "$report_interval" $train_extra_opts \
       "$tr_tfrecords_scp" "$nnet_config" "$nnet_in" "$nnet_out" \
       2> "$dir/nnet.${iter}.tr.log"
     tr_loss=$(scrape "$dir/nnet.${iter}.tr.log" tr_loss)

@@ -40,6 +40,7 @@ seed=777
 batch_size=256
 batch_threads=8
 report_interval=100
+train_extra_opts=   # extra nnet-train.py flags, e.g. "--pack-factor 3"
 cv_goal=eval
 num_targets=72
 decode=false
@@ -135,7 +136,7 @@ for iter in $(seq "$max_iter"); do
       --objective "$objective" --learn-rate "$learn_rate" \
       --optimizer "$optimizer" --seed "$iter" --shuffle "$shuffle" \
       --batch-size "$batch_size" --batch-threads "$batch_threads" \
-      --report-interval "$report_interval" \
+      --report-interval "$report_interval" $train_extra_opts \
       --metrics-file "$dir/nnet.${iter}.metrics.jsonl" \
       "$tr_tfrecords_scp" "$nnet_config" "$nnet_in" "$nnet_out" \
       2> "$dir/nnet.${iter}.tr.log"
@@ -149,7 +150,7 @@ for iter in $(seq "$max_iter"); do
         --objective "$objective" --learn-rate "$learn_rate" \
         --optimizer "$optimizer" --seed "$iter" --shuffle "$shuffle" \
         --batch-size "$batch_size" --batch-threads "$batch_threads" \
-        --report-interval "$report_interval" \
+        --report-interval "$report_interval" $train_extra_opts \
         "$tr_tfrecords_scp" "$nnet_config" "$nnet_in" "$nnet_out" \
         2> "$dir/nnet.${iter}.tr.log" || exit 1
       tr_loss=$(scrape "$dir/nnet.${iter}.tr.log" tr_loss)

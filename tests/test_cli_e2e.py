@@ -119,11 +119,15 @@ seed = 5
     tr_losses = []
     for it in (1, 2, 3):
         out = str(tmp_path / ("nnet.%d" % it))
+        # epoch 2 trains on multi-utterance packed rows (state resets),
+        # exercising the packed CLI path end-to-end; losses must keep
+        # falling across the packed/unpacked mix
+        pack = ["--pack-factor", "2"] if it == 2 else []
         stderr = run_cli([os.path.join(BIN, "nnet-train.py"), tr_scp, config,
                           prev, out, "--objective", "ctc",
                           "--optimizer", "adam", "--learn-rate", "0.004",
                           "--batch-size", "8", "--seed", str(it),
-                          "--report-interval", "5"])
+                          "--report-interval", "5"] + pack)
         tr_losses.append(scrape(stderr, "tr_loss"))
         prev = out
     assert tr_losses[-1] < cv_loss_0, \

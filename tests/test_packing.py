@@ -1,0 +1,243 @@
+"""Multi-utterance row packing: packed rows with state resets must be
+EXACTLY equivalent to giving each utterance its own row — outputs, CTC
+losses, and parameter gradients (no dropout, f32 everywhere).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lstm_ctc_tpu.models import apply_model, init_model
+from lstm_ctc_tpu.models.cells import reverse_segments, reverse_sequence
+from lstm_ctc_tpu.train.graph import compute_losses
+
+CONFIG = {
+    "nnet_type": "blstm",
+    "input_dim": 6,
+    "left_context": 0,
+    "right_context": 0,
+    "subsample": 0,
+    "num_layers": 2,
+    "num_neurons": 10,
+    "num_projects": 8,
+    "num_targets": 5,
+    "use_peepholes": True,
+    "dropout_rate": 1.0,
+    "num_experts": 0,
+}
+
+UTT_LENS = [7, 5, 9, 3]          # four utterances
+ROW_T = 16                       # rows: [7+5], [9+3]
+UTT_T = 12                       # per-utterance padded length
+
+
+def make_utts(seed=0):
+    rng = np.random.RandomState(seed)
+    feats = [rng.randn(t, 6).astype(np.float32) for t in UTT_LENS]
+    labels = [rng.randint(0, 4, max(1, t // 3)).astype(np.int32)
+              for t in UTT_LENS]
+    return feats, labels
+
+
+def packed_batch(feats, labels):
+    rows = [[0, 1], [2, 3]]
+    x = np.zeros((2, ROW_T, 6), np.float32)
+    seq = np.zeros((2,), np.int32)
+    reset = np.zeros((2, ROW_T), np.float32)
+    n = len(feats)
+    u_max = max(len(l) for l in labels)
+    tgt = np.full((n, u_max), -1, np.int32)
+    tlen = np.zeros((n,), np.int32)
+    useq = np.zeros((n,), np.int32)
+    uidx = np.zeros((n, UTT_T), np.int32)
+    for r, members in enumerate(rows):
+        off = 0
+        for j in members:
+            t = feats[j].shape[0]
+            x[r, off:off + t] = feats[j]
+            reset[r, off] = 1.0
+            tgt[j, :len(labels[j])] = labels[j]
+            tlen[j] = len(labels[j])
+            useq[j] = t
+            uidx[j] = np.minimum(off + np.arange(UTT_T), ROW_T - 1) \
+                + r * ROW_T
+            off += t
+        seq[r] = off
+    return {
+        "nnet_input": jnp.asarray(x),
+        "sequence_length": jnp.asarray(seq),
+        "nnet_target": jnp.asarray(tgt),
+        "target_length": jnp.asarray(tlen),
+        "reset_mask": jnp.asarray(reset),
+        "utt_time_index": jnp.asarray(uidx),
+        "utt_sequence_length": jnp.asarray(useq),
+    }
+
+
+def unpacked_batch(feats, labels):
+    n = len(feats)
+    u_max = max(len(l) for l in labels)
+    x = np.zeros((n, UTT_T, 6), np.float32)
+    seq = np.zeros((n,), np.int32)
+    tgt = np.full((n, u_max), -1, np.int32)
+    tlen = np.zeros((n,), np.int32)
+    for j in range(n):
+        t = feats[j].shape[0]
+        x[j, :t] = feats[j]
+        seq[j] = t
+        tgt[j, :len(labels[j])] = labels[j]
+        tlen[j] = len(labels[j])
+    return {
+        "nnet_input": jnp.asarray(x),
+        "sequence_length": jnp.asarray(seq),
+        "nnet_target": jnp.asarray(tgt),
+        "target_length": jnp.asarray(tlen),
+    }
+
+
+def test_reverse_segments_matches_reverse_sequence_single_segment():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 11, 4).astype(np.float32))
+    seq = jnp.asarray([11, 6, 0], jnp.int32)
+    reset = np.zeros((3, 11), np.float32)
+    reset[:, 0] = 1.0
+    got = reverse_segments(x, seq, jnp.asarray(reset))
+    ref = reverse_sequence(x, seq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_packed_logits_match_unpacked():
+    feats, labels = make_utts()
+    params, net_state = init_model(jax.random.PRNGKey(0), CONFIG)
+    packed = packed_batch(feats, labels)
+    unpacked = unpacked_batch(feats, labels)
+
+    logits_p, _, _, _ = apply_model(
+        params, net_state, packed["nnet_input"],
+        packed["sequence_length"], CONFIG, train=False,
+        reset_mask=packed["reset_mask"])
+    flat = np.asarray(logits_p).reshape(2 * ROW_T, -1)
+    per_utt = flat[np.asarray(packed["utt_time_index"])]
+
+    logits_u, _, _, _ = apply_model(
+        params, net_state, unpacked["nnet_input"],
+        unpacked["sequence_length"], CONFIG, train=False)
+    logits_u = np.asarray(logits_u)
+
+    for j, t in enumerate(UTT_LENS):
+        np.testing.assert_allclose(per_utt[j, :t], logits_u[j, :t],
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg="utt %d" % j)
+
+
+def test_packed_loss_and_grads_match_unpacked():
+    feats, labels = make_utts(seed=5)
+    params, net_state = init_model(jax.random.PRNGKey(1), CONFIG)
+    packed = packed_batch(feats, labels)
+    unpacked = unpacked_batch(feats, labels)
+
+    def loss_of(batch):
+        def f(p):
+            metrics, _, _ = compute_losses(p, net_state, batch, CONFIG,
+                                           train=False)
+            return metrics["eval_loss"], metrics["size"]
+        (value, size), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return float(value), int(size), grads
+
+    lp, sp, gp = loss_of(packed)
+    lu, su, gu = loss_of(unpacked)
+    assert sp == su
+    np.testing.assert_allclose(lp, lu, rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=str(path))
+
+
+def test_packed_fused_kernel_matches_scan(monkeypatch):
+    """The Pallas kernel's reset path (interpret mode, f32 remat) must
+    reproduce the scan's packed outputs and gradients."""
+    import functools
+    from lstm_ctc_tpu.ops import lstm_pallas
+
+    monkeypatch.setattr(
+        lstm_pallas, "bilstm_dual_scan_fused",
+        functools.partial(lstm_pallas.bilstm_dual_scan_fused,
+                          store_dtype="float32"))
+
+    feats, labels = make_utts(seed=7)
+    params, net_state = init_model(jax.random.PRNGKey(2), CONFIG)
+    packed = packed_batch(feats, labels)
+
+    def loss_of(p, impl):
+        monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", impl)
+        metrics, _, _ = compute_losses(p, net_state, packed, CONFIG,
+                                       train=False)
+        return metrics["eval_loss"]
+
+    # separate traces per impl (the env var is read at trace time)
+    l_scan, g_scan = jax.value_and_grad(
+        lambda p: loss_of(p, "scan"))(params)
+    l_fused, g_fused = jax.value_and_grad(
+        lambda p: loss_of(p, "pallas"))(params)
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_fused),
+            jax.tree_util.tree_leaves_with_path(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
+
+
+def test_batcher_packs_all_utterances():
+    """batch_plan(-1) covers every utterance exactly once and assemble
+    reproduces each utterance's features at its packed offset."""
+    from lstm_ctc_tpu.data.pipeline import BucketedBatcher
+    from lstm_ctc_tpu.data.records import RecordMeta
+
+    rng = np.random.RandomState(11)
+    lens = [9, 17, 4, 30, 12, 7, 21, 3, 27, 14]
+    metas = [RecordMeta("utt%02d" % i, t, 6, True, "mem", i)
+             for i, t in enumerate(lens)]
+    feats = {m.key: rng.randn(m.num_rows, 6).astype(np.float32)
+             for m in metas}
+    labs = {m.key: rng.randint(0, 4, 2 + i % 3).astype(np.int32)
+            for i, m in enumerate(metas)}
+
+    class FakeLoader:
+        def load(self, meta):
+            return meta.key, feats[meta.key], labs[meta.key]
+
+        def close(self):
+            pass
+
+    b = BucketedBatcher(metas, batch_size=2, pack_factor=3,
+                        time_quant=8, label_quant=4,
+                        label_lengths=[len(labs[m.key]) for m in metas])
+    assert b.shapes() == [(32, 4)]
+    plan = b.batch_plan(shuffle=True, seed=0)
+    seen = []
+    for bucket_idx, rows in plan:
+        assert bucket_idx == -1
+        batch = b.assemble(bucket_idx, rows, FakeLoader())
+        n_slots = batch.nnet_target.shape[0]
+        assert n_slots == 2 * 3
+        flat = batch.nnet_input.reshape(-1, 6)
+        slot = 0
+        for row_members in rows:
+            for idx in row_members:
+                key = metas[idx].key
+                t = metas[idx].num_rows
+                gathered = flat[batch.utt_time_index[slot]][:t]
+                np.testing.assert_allclose(gathered, feats[key])
+                assert batch.utt_sequence_length[slot] == t
+                assert list(batch.nnet_target[
+                    slot, :batch.target_length[slot]]) == list(labs[key])
+                seen.append(key)
+                slot += 1
+        # reset marks = number of packed segments in the batch
+        assert int(batch.reset_mask.sum()) == sum(len(r) for r in rows)
+    assert sorted(seen) == sorted(m.key for m in metas)
