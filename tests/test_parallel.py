@@ -142,3 +142,47 @@ def test_sharded_fused_kernel_matches_scan(monkeypatch):
             jax.tree_util.tree_leaves_with_path(p_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5)
+
+
+def test_sharded_unidirectional_fused_matches_scan(monkeypatch):
+    """lstm_scan_sharded (the lstm/cudnnlstm multi-device fast path)
+    must match the XLA-scan DP step."""
+    import functools
+    from lstm_ctc_tpu.ops import lstm_pallas
+
+    monkeypatch.setattr(
+        lstm_pallas, "lstm_scan_sharded",
+        functools.partial(lstm_pallas.lstm_scan_sharded,
+                          store_dtype="float32"))
+
+    mesh = get_mesh()
+    config = dict(CONFIG, nnet_type="lstm", mesh=mesh,
+                  input_dim=6, num_neurons=12, num_projects=6)
+    batch = make_batch()
+    params, net_state = init_model(jax.random.PRNGKey(3), config)
+    params = jax.tree.map(np.asarray, params)
+    rng = jax.random.PRNGKey(9)
+    replicated = NamedSharding(mesh, P())
+
+    def run(impl):
+        monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", impl)
+        init_opt, train_step = make_train_step(config, learn_rate=1e-2,
+                                               optimizer="adam")
+        p = jax.device_put(params, replicated)
+        o = init_opt(p)
+        s = jax.device_put(net_state, replicated)
+        for _ in range(2):
+            p, o, s, m = train_step(p, o, s,
+                                    jax.device_put(rng, replicated),
+                                    shard_batch(mesh, batch))
+        return p, m
+
+    p_scan, m_scan = run("scan")
+    p_fused, m_fused = run("pallas")
+    np.testing.assert_allclose(float(m_scan["eval_loss"]),
+                               float(m_fused["eval_loss"]), rtol=1e-5)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_scan),
+            jax.tree_util.tree_leaves_with_path(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
