@@ -139,12 +139,17 @@ def run_with_backend_retry(fn, *, what: str = "job"):
     the epoch and the whole run.  Each retry restarts ``fn`` from
     scratch — CLIs are one-epoch/one-pass processes whose only side
     effect is the final artifact write, so a restart is idempotent.
-    ``LSTM_CTC_TPU_BACKEND_RETRIES`` (default 2) bounds the retries;
-    0 disables.
+    Between attempts the jax backends are torn down
+    (jax.extend.backend.clear_backends) — a FAILED_PRECONDITION
+    frequently poisons the in-process runtime client, so an in-process
+    retry off the old client can never recover (observed: chip
+    contention wedged nnet-validate through two retries until the
+    client was reset).  ``LSTM_CTC_TPU_BACKEND_RETRIES`` (default 3)
+    bounds the retries; 0 disables.
     """
     import time
 
-    retries = int(os.environ.get("LSTM_CTC_TPU_BACKEND_RETRIES", "2"))
+    retries = int(os.environ.get("LSTM_CTC_TPU_BACKEND_RETRIES", "3"))
     attempt = 0
     while True:
         try:
@@ -153,10 +158,22 @@ def run_with_backend_retry(fn, *, what: str = "job"):
             if attempt >= retries or not is_transient_backend_error(exc):
                 raise
             attempt += 1
-            delay = 10.0 * attempt
+            delay = 15.0 * attempt
             log.warning(
                 "transient backend error during %s (attempt %d/%d, "
                 "retrying in %.0fs): %s"
                 % (what, attempt, retries, delay,
                    str(exc).splitlines()[0][:300]))
             time.sleep(delay)
+            # a FAILED_PRECONDITION often means the in-process runtime
+            # client is poisoned (e.g. the chip was held by another
+            # process); tear the backends down so the retry
+            # re-initializes a fresh client instead of re-raising off
+            # the dead one.  Compiled-computation caches tied to the old
+            # client are re-built by the retry's fresh trace.
+            try:
+                import jax.extend.backend
+                jax.extend.backend.clear_backends()
+            except Exception as reset_exc:  # pragma: no cover
+                log.warning("backend reset failed (continuing): %s"
+                            % (str(reset_exc).splitlines()[0][:200]))

@@ -31,9 +31,20 @@ def test_classifier():
         ValueError("FAILED_PRECONDITION lookalike"))
 
 
+def _stub_reset(monkeypatch):
+    # the real reset tears down live jax backends — keep unit tests
+    # hermetic (other tests in the process hold live arrays)
+    import jax.extend.backend
+    calls = []
+    monkeypatch.setattr(jax.extend.backend, "clear_backends",
+                        lambda: calls.append(1))
+    return calls
+
+
 def test_retries_then_succeeds(monkeypatch):
     monkeypatch.setenv("LSTM_CTC_TPU_BACKEND_RETRIES", "3")
     monkeypatch.setattr("time.sleep", lambda s: None)
+    resets = _stub_reset(monkeypatch)
     calls = []
 
     def flaky():
@@ -44,11 +55,13 @@ def test_retries_then_succeeds(monkeypatch):
 
     assert run_with_backend_retry(flaky, what="test") == "done"
     assert len(calls) == 3
+    assert len(resets) == 2  # backend reset between attempts
 
 
 def test_retry_budget_exhausted(monkeypatch):
     monkeypatch.setenv("LSTM_CTC_TPU_BACKEND_RETRIES", "1")
     monkeypatch.setattr("time.sleep", lambda s: None)
+    _stub_reset(monkeypatch)
     calls = []
 
     def always_fails():
