@@ -101,7 +101,10 @@ seed = 3
          "--nnet-config", str(config), "--dir", str(exp),
          "--objective", "ctc", "--optimizer", "adam",
          "--learn-rate", "0.005", "--max-iter", "2", "--min-iters", "0",
-         "--batch-size", "8", "--cv-goal", "loss", "--shuffle", "true"])
+         "--batch-size", "8", "--cv-goal", "loss", "--shuffle", "true",
+         # epoch training on packed rows via the recipe-level
+         # pass-through (the WSJ/Libri recipes use this flag)
+         "--train-extra-opts", "--pack-factor 2"])
 
     assert (exp / "final.nnet").exists()
     assert (exp / "nnet.1.done").exists()
