@@ -21,6 +21,7 @@ from lstm_ctc_tpu.cli import (
     init_from_config,
     log_invocation,
     make_shard_fn,
+    note_output_emitted,
     run_with_backend_retry,
     str2bool,
 )
@@ -65,6 +66,7 @@ def main(args):
             hyps = greedy_decode(log_probs[:len(batch.keys)],
                                  batch.sequence_length[:len(batch.keys)])
         for key, hyp in zip(batch.keys, hyps):
+            note_output_emitted()  # streamed record: unsafe to retry past
             writer.Write(key, np.asarray(hyp, np.int32))
             processed += 1
             if args.report_interval and processed % args.report_interval == 0:

@@ -35,6 +35,7 @@ from lstm_ctc_tpu.cli import (
     init_from_config,
     log_invocation,
     make_shard_fn,
+    note_output_emitted,
     run_with_backend_retry,
     str2bool,
 )
@@ -80,6 +81,7 @@ def main(args):
                     out = np.log(out)
             if class_prior is not None:
                 out = out - class_prior
+            note_output_emitted()  # streamed record: unsafe to retry past
             writer.Write(key, out.astype(np.float32))
             processed += 1
             if args.report_interval and processed % args.report_interval == 0:
@@ -115,6 +117,7 @@ def main(args):
             out = out - class_prior
         for row, key in enumerate(batch.keys):
             t_len = int(batch.sequence_length[row])
+            note_output_emitted()  # streamed record: unsafe to retry past
             writer.Write(key, out[row, :t_len].astype(np.float32))
             processed += 1
             if args.report_interval and processed % args.report_interval == 0:

@@ -129,6 +129,23 @@ def is_transient_backend_error(exc: BaseException) -> bool:
     return any(marker in msg for marker in _TRANSIENT_BACKEND_MARKERS)
 
 
+# Set once a CLI has emitted externally-visible output (a record written
+# to a wspecifier — possibly a stdout/pipe already consumed downstream).
+# run_with_backend_retry refuses to restart past this point: re-running
+# main() would re-emit every record into the half-consumed stream,
+# silently corrupting the archive while exiting 0.
+_output_emitted = False
+
+
+def note_output_emitted() -> None:
+    """CLIs call this immediately before their first external write
+    (streamed archive records).  Final-artifact writes that are atomic
+    (``save_checkpoint``'s tmp+rename) need no fence — a retry before
+    the rename leaves no partial artifact behind."""
+    global _output_emitted
+    _output_emitted = True
+
+
 def run_with_backend_retry(fn, *, what: str = "job"):
     """Run ``fn()`` to completion, re-running it when the accelerator
     runtime fails transiently (chip contention / tunnel drops on the
@@ -137,8 +154,15 @@ def run_with_backend_retry(fn, *, what: str = "job"):
     The outer training scripts' NaN-retry (scripts/train_oplr.sh) only
     catches the in-band NaN contract; a backend crash otherwise kills
     the epoch and the whole run.  Each retry restarts ``fn`` from
-    scratch — CLIs are one-epoch/one-pass processes whose only side
-    effect is the final artifact write, so a restart is idempotent.
+    scratch.  That is only safe while the attempt has produced no
+    externally-visible output: checkpoint saves are atomic (tmp+rename)
+    and per-attempt metrics files are truncated on open, but the
+    streaming CLIs (nnet-forward/nnet-decode) write archive records as
+    they go — often into a stdout pipe a downstream consumer has
+    already read.  Those CLIs mark the first record write via
+    ``note_output_emitted``; once marked, a transient failure is
+    re-raised instead of retried (the caller's job-level re-run,
+    e.g. decode_ctc_lat.sh's per-job rerun, owns recovery there).
     Between attempts the jax backends are torn down
     (jax.extend.backend.clear_backends) — a FAILED_PRECONDITION
     frequently poisons the in-process runtime client, so an in-process
@@ -149,13 +173,22 @@ def run_with_backend_retry(fn, *, what: str = "job"):
     """
     import time
 
+    global _output_emitted
     retries = int(os.environ.get("LSTM_CTC_TPU_BACKEND_RETRIES", "3"))
     attempt = 0
     while True:
+        _output_emitted = False
         try:
             return fn()
         except Exception as exc:  # noqa: BLE001 - classified below
             if attempt >= retries or not is_transient_backend_error(exc):
+                raise
+            if _output_emitted:
+                log.warning(
+                    "transient backend error during %s AFTER output was "
+                    "already streamed — a retry would re-emit records "
+                    "into the consumed stream; failing hard instead."
+                    % what)
                 raise
             attempt += 1
             delay = 15.0 * attempt

@@ -209,7 +209,7 @@ def estimate_from_counts(raw, order: int,
             lm.probs[k][gram] = math.log10(max(p, 1e-99))
         # backoff weights on histories of length k (computed after the
         # k+1 probabilities exist) — defer; see _compute_bows
-    _compute_bows(lm, counts)
+    _compute_bows(lm)
 
     if prune_threshold > 0.0:
         _prune(lm, prune_threshold)
@@ -217,7 +217,7 @@ def estimate_from_counts(raw, order: int,
     return lm
 
 
-def _compute_bows(lm: NgramLm, counts) -> None:
+def _compute_bows(lm: NgramLm) -> None:
     """bow(h) = (1 - sum_kept p(w|h)) / (1 - sum_kept p(w|h'))."""
     for k in range(1, lm.order):
         kept = defaultdict(list)
@@ -271,7 +271,7 @@ def _prune(lm: NgramLm, threshold: float) -> None:
 def _compute_bows_after_prune(lm: NgramLm) -> None:
     for k in range(1, lm.order):
         lm.bows[k].clear()
-    _compute_bows(lm, None)
+    _compute_bows(lm)
 
 
 def write_arpa(lm: NgramLm, out=sys.stdout) -> None:
@@ -346,12 +346,30 @@ def count_ngrams_file(path: str, order: int,
     if min_counts:
         cmd += ["--min-counts", ",".join(str(c) for c in min_counts)]
     if path.endswith(".gz"):
-        # the binary reads plain text; decompress through a pipe
+        # the binary reads plain text; decompress through a pipe,
+        # streaming chunk-wise — LM corpora can be billions of tokens,
+        # so neither the decompressed input nor a full-corpus buffer may
+        # ever be resident.  A feeder thread copies gzip→stdin while the
+        # main thread drains stdout (counts are vocab-sized, not
+        # corpus-sized, so reading them fully is fine).
         import gzip
+        import shutil
+        import threading
         proc = subprocess.Popen(cmd + ["-"], stdin=subprocess.PIPE,
                                 stdout=subprocess.PIPE)
-        with gzip.open(path, "rb") as fh:
-            out, _ = proc.communicate(fh.read())
+
+        def _feed():
+            try:
+                with gzip.open(path, "rb") as fh:
+                    shutil.copyfileobj(fh, proc.stdin, 1 << 20)
+            finally:
+                proc.stdin.close()
+
+        feeder = threading.Thread(target=_feed, daemon=True)
+        feeder.start()
+        out = proc.stdout.read()
+        feeder.join()
+        proc.wait()
     else:
         proc = subprocess.Popen(cmd + [path], stdout=subprocess.PIPE)
         out, _ = proc.communicate()

@@ -136,6 +136,21 @@ def _fused_lstm_mode(config, batch):
     return "direct"
 
 
+def _fused_store_dtype(config):
+    """Precision of the fused kernel's remat states + dgates stream (the
+    backward's HBM traffic).  bf16 is the shipped TPU default (+11%
+    frames/s, docs/BENCHMARKS.md; WER-validated by the full-budget
+    parity run — egs/synthetic/RESULT_PARITY.md); ``store_dtype =
+    float32`` in nnet.config or LSTM_CTC_TPU_STORE_DTYPE=float32 gives
+    bit-level gradient parity with the scan autodiff."""
+    import os
+    raw = os.environ.get("LSTM_CTC_TPU_STORE_DTYPE") \
+        or str(config.get("store_dtype", "") or "")
+    return {"bf16": "bfloat16", "bfloat16": "bfloat16",
+            "f32": "float32", "float32": "float32",
+            "fp32": "float32"}.get(raw.lower(), "bfloat16")
+
+
 def apply_blstm(params: Dict,
                 nnet_input: jnp.ndarray,
                 sequence_length: jnp.ndarray,
@@ -167,15 +182,17 @@ def apply_blstm(params: Dict,
     if fused_mode is not None:
         import functools
         interpret = jax.default_backend() == "cpu"
+        store_dtype = _fused_store_dtype(config)
         if fused_mode == "sharded":
             from ..ops.lstm_pallas import bilstm_dual_scan_sharded
             scan_fn = functools.partial(
                 bilstm_dual_scan_sharded, config["mesh"],
-                interpret=interpret)
+                store_dtype=store_dtype, interpret=interpret)
         else:
             from ..ops.lstm_pallas import bilstm_dual_scan_fused
             scan_fn = functools.partial(
-                bilstm_dual_scan_fused, interpret=interpret)
+                bilstm_dual_scan_fused, store_dtype=store_dtype,
+                interpret=interpret)
 
     finput = nnet_input
     binput = rev(nnet_input)

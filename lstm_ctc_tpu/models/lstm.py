@@ -43,15 +43,19 @@ def _make_scan_fn(config, batch):
 
     import jax as _jax
 
+    from .blstm import _fused_store_dtype
     interpret = _jax.default_backend() == "cpu"
+    store_dtype = _fused_store_dtype(config)
     if mode == "sharded":
         if (batch // config["mesh"].devices.size) % 2 != 0:
             return lstm_scan  # per-shard batch must stay even
         from ..ops.lstm_pallas import lstm_scan_sharded
         return functools.partial(lstm_scan_sharded, config["mesh"],
+                                 store_dtype=store_dtype,
                                  interpret=interpret)
     from ..ops.lstm_pallas import lstm_scan_fused
-    return functools.partial(lstm_scan_fused, interpret=interpret)
+    return functools.partial(lstm_scan_fused, store_dtype=store_dtype,
+                             interpret=interpret)
 from .moe import apply_moe, init_moe
 
 BN_MOMENTUM = 0.99

@@ -516,6 +516,12 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     padded_t = -(-time_steps // time_block) * time_block
     gx = _pad_time(gx, padded_t)
     mask2 = _pad_time(mask2, padded_t)
+    if use_reset and padded_t > time_steps:
+        # pad the keep channel with ONES: a zero keep would reset the
+        # carried (c, h) at every padded step, diverging the returned
+        # final states from the scan path, which preserves the carry
+        # past sequence_length (validity, channel 0, stays zero there).
+        mask2 = mask2.at[time_steps:, :, 1].set(1.0)
 
     def p2(name):
         shape_one = fw_params.get(name)

@@ -24,12 +24,15 @@ from ..ops.decode import dense_targets_to_lists
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar log — the working replacement for the
+    """Per-run JSONL scalar log — the working replacement for the
     reference's TF summaries, which were built but never written (no
-    FileWriter exists anywhere in the reference; SURVEY §5)."""
+    FileWriter exists anywhere in the reference; SURVEY §5).  Opens with
+    truncation: each (re-)run of an epoch — including an in-process
+    backend retry, which constructs a fresh writer — starts a clean
+    file instead of appending a duplicate epoch's worth of lines."""
 
     def __init__(self, path: Optional[str]):
-        self._fh = open(path, "a") if path else None
+        self._fh = open(path, "w") if path else None
         self._t0 = time.perf_counter()
 
     def write(self, **scalars) -> None:

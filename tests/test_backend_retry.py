@@ -5,6 +5,7 @@ import pytest
 
 from lstm_ctc_tpu.cli import (
     is_transient_backend_error,
+    note_output_emitted,
     run_with_backend_retry,
 )
 
@@ -84,3 +85,44 @@ def test_non_transient_not_retried(monkeypatch):
     with pytest.raises(RuntimeError):
         run_with_backend_retry(nan_loss, what="test")
     assert len(calls) == 1
+
+
+def test_no_retry_after_streamed_output(monkeypatch):
+    """A transient failure AFTER a record has been streamed must fail
+    hard: re-running main() would re-emit every record into the
+    already-consumed stdout pipe (decode_ctc_lat.sh's ark:- wspecifier),
+    silently corrupting the archive downstream."""
+    monkeypatch.setenv("LSTM_CTC_TPU_BACKEND_RETRIES", "5")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    _stub_reset(monkeypatch)
+    calls = []
+
+    def streams_then_dies():
+        calls.append(1)
+        note_output_emitted()  # one record went out the pipe
+        raise FakeJaxRuntimeError("UNAVAILABLE: socket closed")
+
+    with pytest.raises(FakeJaxRuntimeError):
+        run_with_backend_retry(streams_then_dies, what="test")
+    assert len(calls) == 1  # no retry once output was emitted
+
+
+def test_fence_resets_between_attempts(monkeypatch):
+    """The fence belongs to one attempt: a retry that happens BEFORE
+    output is emitted proceeds normally, and the successful attempt may
+    then stream freely."""
+    monkeypatch.setenv("LSTM_CTC_TPU_BACKEND_RETRIES", "3")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    _stub_reset(monkeypatch)
+    calls = []
+
+    def fails_before_output_then_streams():
+        calls.append(1)
+        if len(calls) == 1:
+            raise FakeJaxRuntimeError("FAILED_PRECONDITION: chip busy")
+        note_output_emitted()
+        return "done"
+
+    assert run_with_backend_retry(
+        fails_before_output_then_streams, what="test") == "done"
+    assert len(calls) == 2

@@ -197,6 +197,35 @@ def test_native_counter_matches_python(tmp_path):
                 k, vocab_path, min_counts)
 
 
+def test_native_counter_gz_streams(tmp_path):
+    """A .gz corpus must produce identical counts to the plain file —
+    via the chunk-streamed stdin pipe (no full-corpus buffering; the
+    native counter exists for corpora that do not fit in RAM)."""
+    import gzip
+    import numpy as np
+    import pytest as _pytest
+    from lstm_ctc_tpu.lm.ngram import _native_counter_path, count_ngrams_file
+
+    if _native_counter_path() is None:
+        _pytest.skip("count-ngrams not built")
+
+    rng = np.random.RandomState(3)
+    words = ["w%d" % i for i in range(15)]
+    lines = ["utt%03d %s" % (u, " ".join(
+        rng.choice(words) for _ in range(rng.randint(1, 10))))
+        for u in range(300)]
+    text = tmp_path / "text"
+    text.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    gz = tmp_path / "text.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    plain = count_ngrams_file(str(text), 3, kaldi_text=True)
+    zipped = count_ngrams_file(str(gz), 3, kaldi_text=True)
+    for k in range(1, 4):
+        assert plain[k] == zipped[k]
+
+
 def test_train_lm_cli_native_and_python_identical(tmp_path):
     """The full train-lm.py ARPA output must be byte-identical whether
     counting ran in C++ or Python."""

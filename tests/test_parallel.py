@@ -102,13 +102,7 @@ def test_sharded_fused_kernel_matches_scan(monkeypatch):
     path) must match the XLA-scan DP step: same loss, same updated
     params.  Runs interpret-mode Pallas on the virtual CPU mesh with f32
     remat storage for scan-precision tolerances."""
-    import functools
-    from lstm_ctc_tpu.ops import lstm_pallas
-
-    monkeypatch.setattr(
-        lstm_pallas, "bilstm_dual_scan_sharded",
-        functools.partial(lstm_pallas.bilstm_dual_scan_sharded,
-                          store_dtype="float32"))
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
 
     mesh = get_mesh()
     config = dict(CONFIG, mesh=mesh)
@@ -147,13 +141,7 @@ def test_sharded_fused_kernel_matches_scan(monkeypatch):
 def test_sharded_unidirectional_fused_matches_scan(monkeypatch):
     """lstm_scan_sharded (the lstm/cudnnlstm multi-device fast path)
     must match the XLA-scan DP step."""
-    import functools
-    from lstm_ctc_tpu.ops import lstm_pallas
-
-    monkeypatch.setattr(
-        lstm_pallas, "lstm_scan_sharded",
-        functools.partial(lstm_pallas.lstm_scan_sharded,
-                          store_dtype="float32"))
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
 
     mesh = get_mesh()
     config = dict(CONFIG, nnet_type="lstm", mesh=mesh,
