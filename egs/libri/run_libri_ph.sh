@@ -13,10 +13,12 @@ RECIPE_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 REPO="$(cd "$RECIPE_DIR/../.." && pwd)"
 SCRIPTS=$REPO/scripts
 BIN=$REPO/bin
+LOCAL=$RECIPE_DIR/local
 PYTHON=${PYTHON:-python3}
-cd "$RECIPE_DIR"
 
 stage=1
+stop_stage=100
+work=$RECIPE_DIR  # output root for data/ and exp/ (default: recipe dir)
 librispeech=       # root containing train-clean-100/360, train-other-500,
                    # dev-clean, dev-other, test-clean, test-other
 phn_dict=          # librispeech phoneme lexicon ("WORD ph ph ...")
@@ -42,15 +44,16 @@ max_iter=30
 target_length_cutoff=3
 
 . "$SCRIPTS/parse_options.sh" || exit 1
+mkdir -p "$work" && cd "$work"
 
-if [ "$stage" -le 1 ]; then
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "===== stage 1: data prep + dict + LMs + decode graphs ====="
   [ -z "$librispeech" ] && echo "need --librispeech <root>" && exit 1
-  bash local/libri_data_prep.sh "$librispeech"
+  bash "$LOCAL/libri_data_prep.sh" "$librispeech"
   [ -z "$phn_dict" ] && echo "need --phn-dict" && exit 1
-  bash local/libri_prepare_phn_dict.sh "$phn_dict"
+  bash "$LOCAL/libri_prepare_phn_dict.sh" "$phn_dict"
   if [ -z "$lm_arpa" ]; then
-    bash local/download_lm.sh "$lm_dir"
+    bash "$LOCAL/download_lm.sh" "$lm_dir"
     lm_arpa="$lm_dir/lm_tgsmall.arpa.gz"
   fi
   # decode graphs: tgsmall + tgmed (reference run_libri_ph.sh:328-331)
@@ -70,7 +73,7 @@ if [ "$stage" -le 1 ]; then
   done
 fi
 
-if [ "$stage" -le 2 ]; then
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   echo "===== stage 2: fbank + CMVN ====="
   # merge the three training subsets into train_960
   mkdir -p data/train_960
@@ -106,7 +109,7 @@ fi
 dir=exp/train_phn_l${num_layers}_c${num_neurons}_m${num_experts}
 tfdata=data/records_phn
 
-if [ "$stage" -le 3 ]; then
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   echo "===== stage 3: labels + records + priors ====="
   mkdir -p "$tfdata" "$dir"
   for pair in "tr95 tr" "cv05 cv"; do
@@ -118,7 +121,7 @@ if [ "$stage" -le 3 ]; then
         "ark,scp:$tfdata/label.$tag.ark,$tfdata/label.$tag.scp"
     bash "$SCRIPTS/tfrecord.sh" --feats-scp data/train_$set/feats.scp \
       --trans-scp "$tfdata/label.$tag.scp" \
-      --cmvn-ark data/train_$set/cmvn.mat --nj "$nj" \
+      --cmvn-ark data/train_$set/cmvn.mat --add-deltas true --nj "$nj" \
       --dir "$tfdata/$tag"
   done
   $PYTHON "$BIN/prep-ctc-trans.py" data/local/dict_phn/lexicon_numbers.txt \
@@ -130,7 +133,7 @@ fi
 num_units=$(wc -l < data/local/dict_phn/units.txt)
 num_targets=$((num_units + 1))
 
-if [ "$stage" -le 4 ]; then
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "===== stage 4: training ====="
   cat > "$dir/nnet.config" <<EOF
 nnet_type = blstm
@@ -162,7 +165,7 @@ EOF
   echo false > "$dir/splice_feats"
 fi
 
-if [ "$stage" -le 5 ]; then
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "===== stage 5: decode 4 test sets (tgsmall + tgmed) ====="
   for set in dev_clean dev_other test_clean test_other; do
     bash "$SCRIPTS/decode_ctc_lat.sh" --nj "$nj" --beam 17.0 \
@@ -178,7 +181,7 @@ if [ "$stage" -le 5 ]; then
   done
 fi
 
-if [ "$stage" -le 6 ]; then
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "===== stage 6: tglarge/fglarge const-arpa rescore ====="
   # reference run_libri_ph.sh:333-337 (steps/lmrescore_const_arpa.sh)
   for set in dev_clean dev_other test_clean test_other; do

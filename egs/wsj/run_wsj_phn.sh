@@ -21,10 +21,12 @@ RECIPE_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 REPO="$(cd "$RECIPE_DIR/../.." && pwd)"
 SCRIPTS=$REPO/scripts
 BIN=$REPO/bin
+LOCAL=$RECIPE_DIR/local
 PYTHON=${PYTHON:-python3}
-cd "$RECIPE_DIR"
 
 stage=1
+stop_stage=100
+work=$RECIPE_DIR  # output root for data/ and exp/ (default: recipe dir)
 wsj0=
 wsj1=
 cmudict=
@@ -53,12 +55,13 @@ sort_by_len=true
 target_length_cutoff=3
 
 . "$SCRIPTS/parse_options.sh" || exit 1
+mkdir -p "$work" && cd "$work"
 
-if [ "$stage" -le 1 ]; then
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "===== stage 1: data prep + dict + LMs + decode graph ====="
   [ -z "$wsj0" ] && echo "need --wsj0 / --wsj1 (LDC corpora)" && exit 1
-  bash local/wsj_data_prep.sh "$wsj0" "$wsj1"
-  bash local/wsj_prepare_phn_dict.sh "$cmudict"
+  bash "$LOCAL/wsj_data_prep.sh" "$wsj0" "$wsj1"
+  bash "$LOCAL/wsj_prepare_phn_dict.sh" "$cmudict"
   if [ -z "$lm_arpa" ]; then
     # self-train the LMs from the training transcripts (reference
     # local/wsj_train_lms.sh via kaldi_lm; here the native KN trainer):
@@ -86,7 +89,7 @@ if [ "$stage" -le 1 ]; then
   fi
 fi
 
-if [ "$stage" -le 2 ]; then
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   echo "===== stage 2: fbank + CMVN ====="
   for set in train_si284 test_dev93 test_eval92; do
     dset=data/$set
@@ -119,7 +122,7 @@ fi
 dir=exp/train_phn_l${num_layers}_c${num_neurons}_m${num_experts}
 tfdata=data/records_phn
 
-if [ "$stage" -le 3 ]; then
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   echo "===== stage 3: labels + records + label priors ====="
   mkdir -p "$tfdata" "$dir"
   for set in tr95 cv05; do
@@ -148,7 +151,7 @@ if [ "$stage" -le 3 ]; then
     set=${pair% *}; tag=${pair#* }
     bash "$SCRIPTS/tfrecord.sh" --feats-scp "$tfdata/$tag.sorted.scp" \
       --trans-scp "$tfdata/label.$tag.scp" \
-      --cmvn-ark data/train_$set/cmvn.mat --nj "$nj" \
+      --cmvn-ark data/train_$set/cmvn.mat --add-deltas true --nj "$nj" \
       --dir "$tfdata/$tag"
   done
   # label priors (reference run_wsj_phn.sh:198-207)
@@ -161,7 +164,7 @@ fi
 num_units=$(wc -l < data/local/dict_phn/units.txt)
 num_targets=$((num_units + 1))
 
-if [ "$stage" -le 4 ]; then
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "===== stage 4: training ====="
   cat > "$dir/nnet.config" <<EOF
 nnet_type = blstm
@@ -193,7 +196,7 @@ EOF
   echo false > "$dir/splice_feats"
 fi
 
-if [ "$stage" -le 5 ]; then
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "===== stage 5: decode dev93 + eval92 ====="
   # NOTE: splice/subsample happen inside the record pipeline via
   # nnet.config; the decode feature pipe adds deltas only.
@@ -205,7 +208,7 @@ if [ "$stage" -le 5 ]; then
   done
 fi
 
-if [ "$stage" -le 6 ] && [ -f data/lang_phn_test_tgconst/G.carpa ]; then
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ] && [ -f data/lang_phn_test_tgconst/G.carpa ]; then
   echo "===== stage 6: const-arpa tg rescore ====="
   for set in dev93 eval92; do
     bash "$SCRIPTS/lmrescore_const_arpa.sh" \

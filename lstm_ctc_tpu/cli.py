@@ -56,6 +56,10 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
     label_lengths = None
     if need_labels and metas and metas[0].has_label:
         label_lengths = scan_label_lengths(metas)
+    # packed batches lay slots out rank-major (longest-first per row), so
+    # the loss may gather each rank tier at a statically smaller width
+    # (train/graph.py); the flag ties the graph to the batcher's layout
+    config["ctc_tiered_slots"] = pack_factor > 1
     return BucketedBatcher(
         metas,
         batch_size=batch_size,

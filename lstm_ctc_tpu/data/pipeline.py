@@ -227,7 +227,15 @@ class BucketedBatcher:
         utt_sequence_length 0 / target_length 0 and contribute neither
         loss nor gradient (the CTC infeasible-pair path).  The
         per-utterance time index is a flat gather into the row-major
-        [B·T] frame axis, clipped to the owning row."""
+        [B·T] frame axis, clipped to the owning row.
+
+        Slot layout is RANK-MAJOR: each row's utterances are placed
+        longest-first, and the k-th longest of row r occupies slot
+        ``k·B + r``.  Since the k+1 longest utterances of a row sum to
+        ≤ row_time, the rank-k utterance is ≤ row_time/(k+1) frames —
+        so the CTC loss can gather rank-k slots at a statically smaller
+        width (train/graph.py tiered gather) instead of paying
+        N_slots × full-row-T."""
         batch_b, t_row = self.batch_size, self.row_time
         num_slots = batch_b * self.pack_factor
         feats = np.zeros((batch_b, t_row, self.input_dim), dtype=np.float32)
@@ -242,10 +250,12 @@ class BucketedBatcher:
         keys: List[str] = []
         native = hasattr(loader, "load_row")
         arange_t = np.arange(t_row, dtype=np.int32)
-        slot = 0
         for row, members in enumerate(rows):
+            # longest-first establishes the rank-tier width guarantee
+            members = sorted(members, key=lambda i: -self._lengths[i])
             offset = 0
-            for idx in members:
+            for rank, idx in enumerate(members):
+                slot = rank * batch_b + row
                 meta = self.metas[idx]
                 want = self._lengths[idx]
                 if native:
@@ -266,12 +276,14 @@ class BucketedBatcher:
                         targets[slot, :len(labels)] = labels
                         tgt_len[slot] = len(labels)
                     keys.append(key)
+                assert t_len * (rank + 1) <= t_row, \
+                    "rank-%d utterance %s too long for its tier" \
+                    % (rank, meta.key)
                 reset[row, offset] = 1.0
                 utt_seq[slot] = t_len
                 utt_idx[slot] = np.minimum(
                     offset + arange_t, t_row - 1) + row * t_row
                 offset += t_len
-                slot += 1
             seq_len[row] = offset
         return Batch(feats, seq_len, targets, tgt_len, keys,
                      reset_mask=reset, utt_time_index=utt_idx,

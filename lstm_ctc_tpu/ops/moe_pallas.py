@@ -168,8 +168,8 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
                   out_ref, th_ref)
 
-    def _bwd_kernel(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
-                    r_ref, s_ref, dx_ref, dgate_ref, dz_ref):
+    def _bwd_kernel(seed_ref, x_ref, th_ref, w_ref, gate_ref, gout_ref,
+                    r_ref, s_ref, dx_ref, dgate_ref, dw_ref, db_ref):
         nblk = pl.program_id(0)
         eblk = pl.program_id(1)
 
@@ -177,6 +177,13 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         def _():
             dx_ref[:] = jnp.zeros_like(dx_ref)
             dgate_ref[:] = jnp.zeros_like(dgate_ref)
+
+        @pl.when((nblk == 0) & (eblk == 0))
+        def _():
+            # dw/db live in one constant-index VMEM buffer across the
+            # whole grid (flushed to HBM once at the end)
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
 
         th = th_ref[:].astype(jnp.float32)
         a = tau * th
@@ -200,11 +207,20 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         dz = grep * q * (tau * (1.0 - th * th))
         if dropout:
             dz = dz * _mask(seed_ref, nblk, eblk)
-        dz_ref[:] = dz.astype(dz_ref.dtype)
         dx_ref[:] += jax.lax.dot_general(    # [Nb, Cb] @ [D, Cb]^T
             dz.astype(cdt), w_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        # weight/bias grads folded into this kernel: one [Nb,D]^T×[Nb,Cb]
+        # MXU matmul per visit accumulated in VMEM — the emitted-dz
+        # stream (the [Np, Ep·V] HBM write + XLA re-read it replaced)
+        # was the head's largest remaining memory-traffic item
+        dzc = dz.astype(cdt)
+        dw_ref[:, pl.ds(eblk * cb, cb)] += jax.lax.dot_general(
+            x_ref[:].astype(cdt), dzc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db_ref[:, pl.ds(eblk * cb, cb)] += jnp.sum(
+            dz, axis=0, keepdims=True)
 
     r_mat, s_mat = _segment_matrices(ep, eb, v)
     r_mat = r_mat.astype(cdt)          # numpy cast (ml_dtypes bfloat16)
@@ -244,7 +260,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             interpret=interpret,
         )(seed, x, w, b, gate, r_mat, s_mat)
 
-    def _pallas_bwd(th, w, gate, seed, gout):
+    def _pallas_bwd(x, th, w, gate, seed, gout):
         np_ = th.shape[0]
         grid = (np_ // n_block, ep // eb)
         return pl.pallas_call(
@@ -252,6 +268,8 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d, cb), lambda n, e: (0, e),
@@ -269,16 +287,25 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                # constant index maps: dw/db stay resident in VMEM for
+                # the whole grid and flush once
+                pl.BlockSpec((d, cp), lambda n, e: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cp), lambda n, e: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((np_, d), jnp.float32),
                 jax.ShapeDtypeStruct((np_, ep), jnp.float32),
-                jax.ShapeDtypeStruct((np_, cp), cdt),
+                jax.ShapeDtypeStruct((d, cp), jnp.float32),
+                jax.ShapeDtypeStruct((1, cp), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                # the resident [D, Ep·V] f32 dw buffer (~15 MB flagship)
+                # plus double-buffered streams exceed the 16 MB default
+                vmem_limit_bytes=80 * 1024 * 1024),
             interpret=interpret,
-        )(seed, th, w, gate, gout, r_mat, s_mat)
+        )(seed, x, th, w, gate, gout, r_mat, s_mat)
 
     @jax.custom_vjp
     def fused(x, w, b, gate, seed):
@@ -290,13 +317,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
 
     def fused_bwd(res, gout):
         x, w, gate, seed, th = res
-        dx, dgate, dz = _pallas_bwd(th, w, gate, seed, gout)
-        # weight/bias grads: plain MXU matmul over the emitted dz —
-        # cheaper in XLA than a third kernel pass
-        dw = jax.lax.dot_general(
-            x.astype(cdt), dz, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+        dx, dgate, dw, db = _pallas_bwd(x, th, w, gate, seed, gout)
         return dx, dw.astype(w.dtype), db, dgate, None
 
     fused.defvjp(fused_fwd, fused_bwd)

@@ -76,13 +76,33 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
     if "utt_time_index" in batch:
         num_rows, row_t, vocab = logits.shape
         flat = logits.reshape(num_rows * row_t, vocab)
-        ctc_logits = flat[batch["utt_time_index"]]       # [N, T_u, V]
-        ctc_seq_len = batch["utt_sequence_length"]
+        n_slots = batch["utt_time_index"].shape[0]
+        pf = n_slots // num_rows
+        if config.get("ctc_tiered_slots") and pf >= 2 \
+                and n_slots == pf * num_rows:
+            # Rank-major slot layout (data/pipeline._assemble_packed):
+            # slot k·B+r holds row r's (k+1)-th longest utterance, which
+            # is ≤ ⌈row_t/(k+1)⌉ frames (the k+1 longest sum to ≤
+            # row_t).  Gathering each rank tier at its static width cuts
+            # the CTC view from pf·B·row_t frames to B·row_t·Σ1/(k+1) —
+            # ~39% less gather+DP work at pf=3, ~48% at pf=4.
+            parts = []
+            for k in range(pf):
+                width = -(-row_t // (k + 1))
+                sl = slice(k * num_rows, (k + 1) * num_rows)
+                tier_logits = flat[batch["utt_time_index"][sl, :width]]
+                parts.append(ctc_loss(
+                    tier_logits, batch["utt_sequence_length"][sl],
+                    batch["nnet_target"][sl], batch["target_length"][sl]))
+            per_seq = jnp.concatenate(parts)
+        else:
+            ctc_logits = flat[batch["utt_time_index"]]   # [N, T_u, V]
+            per_seq = ctc_loss(ctc_logits, batch["utt_sequence_length"],
+                               batch["nnet_target"],
+                               batch["target_length"])
     else:
-        ctc_logits = logits
-        ctc_seq_len = batch["sequence_length"]
-    per_seq = ctc_loss(ctc_logits, ctc_seq_len,
-                       batch["nnet_target"], batch["target_length"])
+        per_seq = ctc_loss(logits, batch["sequence_length"],
+                           batch["nnet_target"], batch["target_length"])
     eval_loss = jnp.sum(per_seq)
     size = jnp.sum((batch["nnet_target"] >= 0).astype(jnp.int32))
     loss = eval_loss

@@ -18,6 +18,9 @@ dir=
 
 check_length=false
 norm_vars=true
+add_deltas=false # append Δ+ΔΔ after CMVN (reference conversion pipe
+                 # run_wsj_phn.sh:162-168 'add-deltas'); the WSJ/libri
+                 # recipes need this so record dims match input_dim
 nj=8
 cmd="$SCRIPT_DIR/run.pl"
 featbin=native   # native | kaldi
@@ -54,12 +57,15 @@ subdir=$(readlink -f "$dir")/split${nj}/JOB
 if [ "$featbin" == "kaldi" ]; then
   copy_feats="copy-feats"
   apply_cmvn="apply-cmvn"
+  add_deltas_bin="add-deltas"
 else
   copy_feats="$PYTHON $BIN/copy-feats.py"
   apply_cmvn="$PYTHON $BIN/apply-cmvn.py"
+  add_deltas_bin="$PYTHON $BIN/add-deltas.py"
 fi
 nnet_input="ark:$copy_feats scp:$subdir/feats.scp ark:- |"
 nnet_input="$nnet_input $apply_cmvn --norm-means=true --norm-vars=$norm_vars $cmvn_ark ark:- ark:- |"
+$add_deltas && nnet_input="$nnet_input $add_deltas_bin ark:- ark:- |"
 nnet_target=
 [ -n "$trans_scp" ] && nnet_target="scp:$subdir/trans.scp"
 

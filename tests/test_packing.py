@@ -264,18 +264,85 @@ def test_batcher_packs_all_utterances():
         n_slots = batch.nnet_target.shape[0]
         assert n_slots == 2 * 3
         flat = batch.nnet_input.reshape(-1, 6)
-        slot = 0
-        for row_members in rows:
-            for idx in row_members:
+        row_t = batch.nnet_input.shape[1]
+        for row, row_members in enumerate(rows):
+            # slots are rank-major: row r's (k+1)-th longest → slot k·B+r
+            ordered = sorted(row_members,
+                             key=lambda i: -metas[i].num_rows)
+            for rank, idx in enumerate(ordered):
+                slot = rank * 2 + row
                 key = metas[idx].key
                 t = metas[idx].num_rows
+                # tier-width invariant behind the tiered CTC gather
+                assert t * (rank + 1) <= row_t
                 gathered = flat[batch.utt_time_index[slot]][:t]
                 np.testing.assert_allclose(gathered, feats[key])
                 assert batch.utt_sequence_length[slot] == t
                 assert list(batch.nnet_target[
                     slot, :batch.target_length[slot]]) == list(labs[key])
                 seen.append(key)
-                slot += 1
         # reset marks = number of packed segments in the batch
         assert int(batch.reset_mask.sum()) == sum(len(r) for r in rows)
     assert sorted(seen) == sorted(m.key for m in metas)
+
+
+def test_tiered_ctc_gather_matches_full_width():
+    """compute_losses with ctc_tiered_slots (rank-tier static widths)
+    must produce the same loss and gradients as the full-width gather on
+    batcher-produced packed batches."""
+    from lstm_ctc_tpu.data.pipeline import BucketedBatcher
+    from lstm_ctc_tpu.data.records import RecordMeta
+
+    rng = np.random.RandomState(13)
+    lens = [30, 17, 9, 28, 12, 7, 21, 3, 27, 14, 31, 5]
+    metas = [RecordMeta("utt%02d" % i, t, 6, True, "mem", i)
+             for i, t in enumerate(lens)]
+    feats = {m.key: rng.randn(m.num_rows, 6).astype(np.float32)
+             for m in metas}
+    labs = {m.key: rng.randint(0, 4, 2 + i % 4).astype(np.int32)
+            for i, m in enumerate(metas)}
+
+    class FakeLoader:
+        def load(self, meta):
+            return meta.key, feats[meta.key], labs[meta.key]
+
+        def close(self):
+            pass
+
+    b = BucketedBatcher(metas, batch_size=2, pack_factor=3,
+                        time_quant=8, label_quant=4,
+                        label_lengths=[len(labs[m.key]) for m in metas])
+    params, net_state = init_model(jax.random.PRNGKey(4), CONFIG)
+    plan = b.batch_plan(shuffle=True, seed=1)
+
+    for bucket_idx, rows in plan:
+        batch_obj = b.assemble(bucket_idx, rows, FakeLoader())
+        batch = {
+            "nnet_input": jnp.asarray(batch_obj.nnet_input),
+            "sequence_length": jnp.asarray(batch_obj.sequence_length),
+            "nnet_target": jnp.asarray(batch_obj.nnet_target),
+            "target_length": jnp.asarray(batch_obj.target_length),
+            "reset_mask": jnp.asarray(batch_obj.reset_mask),
+            "utt_time_index": jnp.asarray(batch_obj.utt_time_index),
+            "utt_sequence_length":
+                jnp.asarray(batch_obj.utt_sequence_length),
+        }
+
+        def loss_of(p, tiered):
+            cfg = dict(CONFIG, ctc_tiered_slots=tiered)
+            metrics, _, _ = compute_losses(p, net_state, batch, cfg,
+                                           train=False)
+            return metrics["eval_loss"]
+
+        l_full, g_full = jax.value_and_grad(
+            lambda p: loss_of(p, False))(params)
+        l_tier, g_tier = jax.value_and_grad(
+            lambda p: loss_of(p, True))(params)
+        np.testing.assert_allclose(float(l_tier), float(l_full),
+                                   rtol=1e-5)
+        for (path, a), (_, bb) in zip(
+                jax.tree_util.tree_leaves_with_path(g_tier),
+                jax.tree_util.tree_leaves_with_path(g_full)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=str(path))
