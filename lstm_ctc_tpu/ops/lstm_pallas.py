@@ -115,7 +115,8 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
 
 def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
-                     use_proj, cdt, use_reset=False):
+                     use_proj, cdt, use_reset=False,
+                     fold_dx=False, d_in=0):
     """Reverse-time backward: recomputes gate activations from the stored
     previous-step states.
 
@@ -126,17 +127,66 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
     pre-projection out, projected-output cotangent) in VMEM scratch, and
     after the loop one large [tb·B, ·]ᵀ×[tb·B, ·] matmul per direction
     accumulates wh̄/P̄ (peephole grads reduce elementwise) — big MXU
-    shapes off the latency-bound critical path."""
+    shapes off the latency-bound critical path.
+
+    ``fold_dx``: additionally consume the layer input stream (xt) and
+    the input-projection weights, emitting the INPUT cotangent dxt
+    directly plus VMEM-accumulated wx̄/bias̄ — replacing the emitted
+    dgates stream ([T, 2B, 4H]) and its two XLA re-reads with a dxt
+    stream ([T, 2B, D], typically half the bytes in bf16).  Requires
+    d_in to be lane-aligned (128-divisible)."""
     h4 = 4 * num_units
 
-    def kernel(gx_ref, mask_ref, cprev_ref, hprev_ref,
-               whf_ref, whb_ref, projf_ref, projb_ref,
-               wi_ref, wf_ref, wo_ref, dout_ref, dcfin_ref, dhfin_ref,
-               dgx_ref, dwhf_ref, dwhb_ref, dprojf_ref, dprojb_ref,
-               dwi_ref, dwf_ref, dwo_ref,
-               dc_ref, dh_ref, awhf_ref, awhb_ref, aprojf_ref,
-               aprojb_ref, awi_ref, awf_ref, awo_ref,
-               cnew_ref, outp_ref, doutp_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        gx_ref = next(it)
+        mask_ref = next(it)
+        cprev_ref = next(it)
+        hprev_ref = next(it)
+        xt_ref = next(it) if fold_dx else None
+        whf_ref = next(it)
+        whb_ref = next(it)
+        projf_ref = next(it)
+        projb_ref = next(it)
+        wi_ref = next(it)
+        wf_ref = next(it)
+        wo_ref = next(it)
+        wxf_ref = next(it) if fold_dx else None
+        wxb_ref = next(it) if fold_dx else None
+        dout_ref = next(it)
+        dcfin_ref = next(it)
+        dhfin_ref = next(it)
+        dgx_ref = None if fold_dx else next(it)   # emitted dgates stream
+        dxt_ref = next(it) if fold_dx else None   # emitted input cotangent
+        dwhf_ref = next(it)
+        dwhb_ref = next(it)
+        dprojf_ref = next(it)
+        dprojb_ref = next(it)
+        dwi_ref = next(it)
+        dwf_ref = next(it)
+        dwo_ref = next(it)
+        dwxf_ref = next(it) if fold_dx else None
+        dwxb_ref = next(it) if fold_dx else None
+        dbf_ref = next(it) if fold_dx else None
+        dbb_ref = next(it) if fold_dx else None
+        dc_ref = next(it)
+        dh_ref = next(it)
+        awhf_ref = next(it)
+        awhb_ref = next(it)
+        aprojf_ref = next(it)
+        aprojb_ref = next(it)
+        awi_ref = next(it)
+        awf_ref = next(it)
+        awo_ref = next(it)
+        cnew_ref = next(it)
+        outp_ref = next(it)
+        doutp_ref = next(it)
+        dgs_ref = next(it) if fold_dx else dgx_ref  # block-local dgates
+        awxf_ref = next(it) if fold_dx else None
+        awxb_ref = next(it) if fold_dx else None
+        abf_ref = next(it) if fold_dx else None
+        abb_ref = next(it) if fold_dx else None
+
         blk = pl.program_id(0)
         nblk = pl.num_programs(0)
 
@@ -154,6 +204,11 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                 awi_ref[:] = jnp.zeros_like(awi_ref)
                 awf_ref[:] = jnp.zeros_like(awf_ref)
                 awo_ref[:] = jnp.zeros_like(awo_ref)
+            if fold_dx:
+                awxf_ref[:] = jnp.zeros_like(awxf_ref)
+                awxb_ref[:] = jnp.zeros_like(awxb_ref)
+                abf_ref[:] = jnp.zeros_like(abf_ref)
+                abb_ref[:] = jnp.zeros_like(abb_ref)
 
         def step(tt, carry):
             dc, dh = carry                       # [2B, H], [2B, P]
@@ -230,7 +285,7 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                 dc_prev = dc_prev + df * wf_ref[:] + di * wi_ref[:]
 
             dgates = jnp.concatenate([di, dj, df, do], axis=1)  # [2B,4H]
-            dgx_ref[tt] = dgates.astype(dgx_ref.dtype)
+            dgs_ref[tt] = dgates.astype(dgs_ref.dtype)
             # dh_prev += dgates @ whᵀ
             dh_f = jax.lax.dot_general(
                 dgates[:batch].astype(cdt), whf_ref[:],
@@ -257,7 +312,7 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         # --- block-level weight-gradient accumulation (off the chain) ---
         tb = gx_ref.shape[0]
-        dg = dgx_ref[:]                                  # [tb, 2B, 4H]
+        dg = dgs_ref[:]                                  # [tb, 2B, 4H]
         dg_f = dg[:, :batch].reshape(tb * batch, h4).astype(cdt)
         dg_b = dg[:, batch:].reshape(tb * batch, h4).astype(cdt)
         hp = hprev_ref[:]
@@ -297,6 +352,34 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                 dg32[:, :, 3 * num_units:4 * num_units] * cnew_ref[:],
                 axis=0)
 
+        if fold_dx:
+            # input-side grads + input cotangent, also off the chain:
+            # wx̄ += xᵀ dgates, bias̄ += Σ dgates, dxt = dgates wxᵀ —
+            # replaces the dgates HBM stream and its two XLA re-reads
+            xt = xt_ref[:]
+            x_f = xt[:, :batch].reshape(tb * batch, d_in).astype(cdt)
+            x_b = xt[:, batch:].reshape(tb * batch, d_in).astype(cdt)
+            awxf_ref[:] += jax.lax.dot_general(
+                x_f, dg_f, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            awxb_ref[:] += jax.lax.dot_general(
+                x_b, dg_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            abf_ref[:] += jnp.sum(dg[:, :batch].astype(jnp.float32),
+                                  axis=(0, 1), keepdims=False)[None, :]
+            abb_ref[:] += jnp.sum(dg[:, batch:].astype(jnp.float32),
+                                  axis=(0, 1), keepdims=False)[None, :]
+            dx_f = jax.lax.dot_general(          # [tb·B, 4H] @ [D, 4H]ᵀ
+                dg_f, wxf_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dx_b = jax.lax.dot_general(
+                dg_b, wxb_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxt_ref[:, :batch] = dx_f.reshape(
+                tb, batch, d_in).astype(dxt_ref.dtype)
+            dxt_ref[:, batch:] = dx_b.reshape(
+                tb, batch, d_in).astype(dxt_ref.dtype)
+
         @pl.when(blk == nblk - 1)
         def _():
             dwhf_ref[:] = awhf_ref[:]
@@ -308,6 +391,11 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                 dwi_ref[:] = awi_ref[:]
                 dwf_ref[:] = awf_ref[:]
                 dwo_ref[:] = awo_ref[:]
+            if fold_dx:
+                dwxf_ref[:] = awxf_ref[:]
+                dwxb_ref[:] = awxb_ref[:]
+                dbf_ref[:] = abf_ref[:]
+                dbb_ref[:] = abb_ref[:]
 
     return kernel
 
@@ -323,7 +411,7 @@ def _pad_time(x, padded_t):
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 use_peep, use_proj, cdt_name, store_name, time_block,
-                interpret, use_reset=False):
+                interpret, use_reset=False, fold_dx=False, d_in=0):
     cdt = jnp.dtype(cdt_name)
     h4 = 4 * num_units
     b2 = 2 * batch
@@ -338,7 +426,8 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
     fwd_kernel = _make_fwd_kernel(batch, num_units, out_dim, forget_bias,
                                   use_peep, use_proj, cdt, use_reset)
     bwd_kernel = _make_bwd_kernel(batch, num_units, out_dim, forget_bias,
-                                  use_peep, use_proj, cdt, use_reset)
+                                  use_peep, use_proj, cdt, use_reset,
+                                  fold_dx=fold_dx, d_in=d_in)
     mask_w = 2 if use_reset else 1
 
     tb_spec = lambda width, dtype=None: pl.BlockSpec(
@@ -381,6 +470,23 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
         (time_block, b2, width), lambda t, n=nblk: (n - 1 - t, 0, 0),
         memory_space=pltpu.VMEM)
 
+    base_scratch = [
+        pltpu.VMEM((b2, num_units), jnp.float32),
+        pltpu.VMEM((b2, out_dim), jnp.float32),
+        pltpu.VMEM((out_dim, h4), jnp.float32),
+        pltpu.VMEM((out_dim, h4), jnp.float32),
+        pltpu.VMEM((num_units, out_dim), jnp.float32),
+        pltpu.VMEM((num_units, out_dim), jnp.float32),
+        pltpu.VMEM((b2, num_units), jnp.float32),
+        pltpu.VMEM((b2, num_units), jnp.float32),
+        pltpu.VMEM((b2, num_units), jnp.float32),
+        # per-step stashes consumed by the block-level wgrad
+        # accumulation after the reverse loop
+        pltpu.VMEM((time_block, b2, num_units), jnp.float32),
+        pltpu.VMEM((time_block, b2, num_units), jnp.float32),
+        pltpu.VMEM((time_block, b2, out_dim), jnp.float32),
+    ]
+
     def pallas_bwd(gx, mask, c_prev_all, h_prev_all, whf, whb, projf,
                    projb, wi, wf, wo, dout, dcfin, dhfin):
         outs = pl.pallas_call(
@@ -400,63 +506,145 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
                 jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((b2, num_units), jnp.float32),
-                pltpu.VMEM((b2, out_dim), jnp.float32),
-                pltpu.VMEM((out_dim, h4), jnp.float32),
-                pltpu.VMEM((out_dim, h4), jnp.float32),
-                pltpu.VMEM((num_units, out_dim), jnp.float32),
-                pltpu.VMEM((num_units, out_dim), jnp.float32),
-                pltpu.VMEM((b2, num_units), jnp.float32),
-                pltpu.VMEM((b2, num_units), jnp.float32),
-                pltpu.VMEM((b2, num_units), jnp.float32),
-                # per-step stashes consumed by the block-level wgrad
-                # accumulation after the reverse loop
-                pltpu.VMEM((time_block, b2, num_units), jnp.float32),
-                pltpu.VMEM((time_block, b2, num_units), jnp.float32),
-                pltpu.VMEM((time_block, b2, out_dim), jnp.float32),
-            ],
+            scratch_shapes=base_scratch,
             compiler_params=compiler_params,
             interpret=interpret,
         )(gx, mask, c_prev_all, h_prev_all, whf, whb, projf, projb,
           wi, wf, wo, dout, dcfin, dhfin)
         return outs
 
+    def pallas_bwd_fold(gx, mask, c_prev_all, h_prev_all, xt, whf, whb,
+                        projf, projb, wi, wf, wo, wxf, wxb, dout,
+                        dcfin, dhfin):
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(nblk,),
+            in_specs=([rev_spec(h4), rev_spec(mask_w), rev_spec(num_units),
+                       rev_spec(out_dim), rev_spec(d_in)] + [full()] * 9
+                      + [rev_spec(out_dim), full(), full()]),
+            out_specs=[rev_spec(d_in)] + [full()] * 11,
+            out_shape=[
+                jax.ShapeDtypeStruct((padded_t, b2, d_in), store_dt),
+                jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
+                jax.ShapeDtypeStruct((out_dim, h4), jnp.float32),
+                jax.ShapeDtypeStruct((num_units, out_dim), jnp.float32),
+                jax.ShapeDtypeStruct((num_units, out_dim), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((b2, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((d_in, h4), jnp.float32),
+                jax.ShapeDtypeStruct((d_in, h4), jnp.float32),
+                jax.ShapeDtypeStruct((1, h4), jnp.float32),
+                jax.ShapeDtypeStruct((1, h4), jnp.float32),
+            ],
+            scratch_shapes=base_scratch + [
+                pltpu.VMEM((time_block, b2, h4), store_dt),  # dgates blk
+                pltpu.VMEM((d_in, h4), jnp.float32),         # awxf
+                pltpu.VMEM((d_in, h4), jnp.float32),         # awxb
+                pltpu.VMEM((1, h4), jnp.float32),            # abf
+                pltpu.VMEM((1, h4), jnp.float32),            # abb
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(gx, mask, c_prev_all, h_prev_all, xt, whf, whb, projf, projb,
+          wi, wf, wo, wxf, wxb, dout, dcfin, dhfin)
+        return outs
+
+    if not fold_dx:
+        @jax.custom_vjp
+        def fused(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+            out, _, _, cfin, hfin = pallas_fwd(gx, mask, whf, whb, projf,
+                                               projb, wi, wf, wo)
+            return out[:time_steps], cfin, hfin
+
+        def fused_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+            out, c_all, h_all, cfin, hfin = pallas_fwd(
+                gx, mask, whf, whb, projf, projb, wi, wf, wo)
+            res = (gx, mask, c_all, h_all, whf, whb, projf, projb, wi,
+                   wf, wo)
+            return (out[:time_steps], cfin, hfin), res
+
+        def fused_bwd(res, cots):
+            dout, dcfin, dhfin = cots
+            (gx, mask, c_all, h_all, whf, whb, projf, projb, wi, wf,
+             wo) = res
+            # previous-step states: shift right by one, zeros at t=0
+            zero_c = jnp.zeros((1,) + c_all.shape[1:], c_all.dtype)
+            zero_h = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
+            c_prev = jnp.concatenate([zero_c, c_all[:-1]], axis=0)
+            h_prev = jnp.concatenate([zero_h, h_all[:-1]], axis=0)
+            dout_p = _pad_time(dout.astype(jnp.float32),
+                               c_all.shape[0])
+            (dgx, dwhf, dwhb, dprojf, dprojb, dwi, dwf,
+             dwo) = pallas_bwd(
+                gx, mask, c_prev, h_prev, whf, whb, projf, projb, wi,
+                wf, wo, dout_p, dcfin.astype(jnp.float32),
+                dhfin.astype(jnp.float32))
+            dgx = dgx.astype(gx.dtype)
+            return (dgx, jnp.zeros_like(mask),
+                    dwhf.astype(whf.dtype), dwhb.astype(whb.dtype),
+                    dprojf.astype(projf.dtype),
+                    dprojb.astype(projb.dtype),
+                    dwi.astype(wi.dtype), dwf.astype(wf.dtype),
+                    dwo.astype(wo.dtype))
+
+        fused.defvjp(fused_fwd, fused_bwd)
+        return fused
+
+    # ---- fold_dx variant: input projection inside the VJP boundary ----
+    def compute_gx(xt, wxf, wxb, biasf, biasb):
+        gf = jax.lax.dot_general(
+            xt[:, :batch].astype(cdt), wxf, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + biasf[None, None, :]
+        gb = jax.lax.dot_general(
+            xt[:, batch:].astype(cdt), wxb, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + biasb[None, None, :]
+        return jnp.concatenate([gf, gb], axis=1).astype(cdt)
+
     @jax.custom_vjp
-    def fused(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+    def fusedx(xt, wxf, wxb, biasf, biasb, mask, whf, whb, projf, projb,
+               wi, wf, wo):
+        gx = compute_gx(xt, wxf, wxb, biasf, biasb)
         out, _, _, cfin, hfin = pallas_fwd(gx, mask, whf, whb, projf,
                                            projb, wi, wf, wo)
         return out[:time_steps], cfin, hfin
 
-    def fused_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
+    def fusedx_fwd(xt, wxf, wxb, biasf, biasb, mask, whf, whb, projf,
+                   projb, wi, wf, wo):
+        gx = compute_gx(xt, wxf, wxb, biasf, biasb)
         out, c_all, h_all, cfin, hfin = pallas_fwd(
             gx, mask, whf, whb, projf, projb, wi, wf, wo)
-        res = (gx, mask, c_all, h_all, whf, whb, projf, projb, wi, wf, wo)
+        res = (xt, gx, mask, c_all, h_all, wxf, wxb, whf, whb, projf,
+               projb, wi, wf, wo)
         return (out[:time_steps], cfin, hfin), res
 
-    def fused_bwd(res, cots):
+    def fusedx_bwd(res, cots):
         dout, dcfin, dhfin = cots
-        (gx, mask, c_all, h_all, whf, whb, projf, projb, wi, wf,
-         wo) = res
-        # previous-step states: shift right by one, zeros at t=0
+        (xt, gx, mask, c_all, h_all, wxf, wxb, whf, whb, projf, projb,
+         wi, wf, wo) = res
         zero_c = jnp.zeros((1,) + c_all.shape[1:], c_all.dtype)
         zero_h = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
         c_prev = jnp.concatenate([zero_c, c_all[:-1]], axis=0)
         h_prev = jnp.concatenate([zero_h, h_all[:-1]], axis=0)
-        dout_p = _pad_time(dout.astype(jnp.float32),
-                           c_all.shape[0])
-        (dgx, dwhf, dwhb, dprojf, dprojb, dwi, dwf, dwo) = pallas_bwd(
-            gx, mask, c_prev, h_prev, whf, whb, projf, projb, wi, wf, wo,
-            dout_p, dcfin.astype(jnp.float32), dhfin.astype(jnp.float32))
-        dgx = dgx.astype(gx.dtype)
-        return (dgx, jnp.zeros_like(mask),
+        dout_p = _pad_time(dout.astype(jnp.float32), c_all.shape[0])
+        (dxt, dwhf, dwhb, dprojf, dprojb, dwi, dwf, dwo, dwxf, dwxb,
+         dbf, dbb) = pallas_bwd_fold(
+            gx, mask, c_prev, h_prev, xt, whf, whb, projf, projb, wi,
+            wf, wo, wxf, wxb, dout_p, dcfin.astype(jnp.float32),
+            dhfin.astype(jnp.float32))
+        return (dxt.astype(xt.dtype),
+                dwxf.astype(wxf.dtype), dwxb.astype(wxb.dtype),
+                dbf.reshape(h4), dbb.reshape(h4),
+                jnp.zeros_like(mask),
                 dwhf.astype(whf.dtype), dwhb.astype(whb.dtype),
                 dprojf.astype(projf.dtype), dprojb.astype(projb.dtype),
                 dwi.astype(wi.dtype), dwf.astype(wf.dtype),
                 dwo.astype(wo.dtype))
 
-    fused.defvjp(fused_fwd, fused_bwd)
-    return fused
+    fusedx.defvjp(fusedx_fwd, fusedx_bwd)
+    return fusedx
 
 
 def _auto_time_block(batch):
@@ -483,7 +671,9 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     the emitted dgates stream (the backward's HBM traffic); bf16 is the
     shipped default, f32 gives bit-level parity with the scan autodiff.
     """
-    batch, time_steps, _ = x.shape
+    import os
+
+    batch, time_steps, d_in = x.shape
     if time_block is None:
         time_block = _auto_time_block(batch)
     num_units = fw_params["bias"].shape[0] // 4
@@ -492,15 +682,22 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     out_dim = fw_params["proj"].shape[1] if use_proj else num_units
     cdt = jnp.dtype(compute_dtype) if compute_dtype is not None \
         else jnp.dtype(x.dtype)
+    # opt-in: fold the input-side backward (dx/dwx/dbias) into the bwd
+    # kernel, replacing the dgates HBM stream with the (smaller) dx
+    # stream; needs a lane-aligned input dim
+    fold_dx = os.environ.get("LSTM_CTC_TPU_LSTM_FOLD_DX", "0") == "1" \
+        and d_in % 128 == 0
 
-    # input projection for the whole sequence: one large MXU matmul
-    wx = jnp.stack([fw_params["wx"], bw_params["wx"]]).astype(cdt)
-    bias = jnp.stack([fw_params["bias"], bw_params["bias"]])
-    x2 = jnp.stack([x, x_rev]).astype(cdt)                  # [2, B, T, D]
-    gx = jnp.einsum("kbtd,kdh->tkbh", x2, wx,
-                    preferred_element_type=jnp.float32) \
-        + bias[None, :, None, :]                            # [T, 2, B, 4H]
-    gx = gx.reshape(time_steps, 2 * batch, 4 * num_units).astype(cdt)
+    if not fold_dx:
+        # input projection for the whole sequence: one large MXU matmul
+        wx = jnp.stack([fw_params["wx"], bw_params["wx"]]).astype(cdt)
+        bias = jnp.stack([fw_params["bias"], bw_params["bias"]])
+        x2 = jnp.stack([x, x_rev]).astype(cdt)              # [2, B, T, D]
+        gx = jnp.einsum("kbtd,kdh->tkbh", x2, wx,
+                        preferred_element_type=jnp.float32) \
+            + bias[None, :, None, :]                        # [T, 2, B, 4H]
+        gx = gx.reshape(time_steps, 2 * batch,
+                        4 * num_units).astype(cdt)
 
     mask = (jnp.arange(time_steps)[:, None]
             < sequence_length[None, :]).astype(jnp.float32)  # [T, B]
@@ -514,7 +711,14 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
         mask2 = jnp.concatenate([mask2, keep2], axis=2)      # [T, 2B, 2]
 
     padded_t = -(-time_steps // time_block) * time_block
-    gx = _pad_time(gx, padded_t)
+    if fold_dx:
+        # time-major stacked input stream [T, 2B, D]; the fused VJP
+        # computes gx from it and owns the input-side backward
+        xt = jnp.concatenate([jnp.moveaxis(x, 0, 1),
+                              jnp.moveaxis(x_rev, 0, 1)], axis=1)
+        xt = _pad_time(xt, padded_t)
+    else:
+        gx = _pad_time(gx, padded_t)
     mask2 = _pad_time(mask2, padded_t)
     if use_reset and padded_t > time_steps:
         # pad the keep channel with ONES: a zero keep would reset the
@@ -552,9 +756,17 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
     fused = _make_fused(time_steps, batch, num_units, out_dim,
                         float(forget_bias), use_peep, use_proj,
                         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
-                        time_block, bool(interpret), use_reset)
-    out, cfin, hfin = fused(gx, mask2, whf, whb, projf, projb,
-                            wi, wf, wo)
+                        time_block, bool(interpret), use_reset,
+                        fold_dx=fold_dx, d_in=d_in if fold_dx else 0)
+    if fold_dx:
+        out, cfin, hfin = fused(
+            xt, fw_params["wx"].astype(cdt), bw_params["wx"].astype(cdt),
+            fw_params["bias"].astype(jnp.float32),
+            bw_params["bias"].astype(jnp.float32),
+            mask2, whf, whb, projf, projb, wi, wf, wo)
+    else:
+        out, cfin, hfin = fused(gx, mask2, whf, whb, projf, projb,
+                                wi, wf, wo)
 
     out = out.reshape(time_steps, 2, batch, out_dim)
     outputs = jnp.moveaxis(out, 0, 2)                       # [2, B, T, P]

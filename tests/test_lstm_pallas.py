@@ -151,3 +151,78 @@ def test_unidirectional_fused_grads():
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(path))
+
+
+def test_fold_dx_matches_scan_grads(monkeypatch):
+    """LSTM_CTC_TPU_LSTM_FOLD_DX=1 (input-side backward folded into the
+    kernel: dxt emitted, wx/bias grads VMEM-accumulated) must match the
+    scan autodiff — values and every gradient leaf including wx/bias."""
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_FOLD_DX", "1")
+    # lane-aligned input dim so the fold variant actually engages
+    fw, bw, x, x_rev, seq_len = make_case(6, dim=128)
+
+    def loss(fn, fw, bw, x):
+        from lstm_ctc_tpu.models.cells import reverse_sequence
+        x_rev = reverse_sequence(x, seq_len)
+        fw_out, bw_out, (fs, bs) = fn(fw, bw, x, x_rev, seq_len,
+                                      FORGET_BIAS)
+        return (jnp.sum(jnp.sin(fw_out)) + jnp.sum(jnp.cos(bw_out))
+                + jnp.sum(fs[0] * 0.1) + jnp.sum(bs[1] * 0.2))
+
+    ref = jax.grad(
+        lambda fw, bw, x: loss(bilstm_dual_scan, fw, bw, x),
+        argnums=(0, 1, 2))(fw, bw, x)
+    got = jax.grad(
+        lambda fw, bw, x: loss(
+            lambda *a, **k: bilstm_dual_scan_fused(
+                *a, time_block=8, store_dtype="float32",
+                interpret=True, **k), fw, bw, x),
+        argnums=(0, 1, 2))(fw, bw, x)
+
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(ref)
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(got)
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
+
+
+def test_fold_dx_packed_matches_scan(monkeypatch):
+    """Fold variant under packed rows (reset masks): loss gradients must
+    match the scan path exactly (f32 stores)."""
+    from lstm_ctc_tpu.models.cells import reverse_segments
+
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_FOLD_DX", "1")
+    rng = np.random.RandomState(8)
+    B, T, D = 2, 16, 128
+    fw = init_lstm_cell(jax.random.PRNGKey(21), D, 16, num_proj=8,
+                        use_peepholes=True)
+    bw = init_lstm_cell(jax.random.PRNGKey(22), D, 16, num_proj=8,
+                        use_peepholes=True)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    seq = jnp.asarray([12, 16], jnp.int32)
+    reset = np.zeros((B, T), np.float32)
+    reset[0, [0, 7]] = 1.0
+    reset[1, [0, 9]] = 1.0
+    reset = jnp.asarray(reset)
+
+    def loss(fn, fw, bw, x):
+        x_rev = reverse_segments(x, seq, reset)
+        fw_out, bw_out, _ = fn(fw, bw, x, x_rev, seq, FORGET_BIAS,
+                               reset_mask=reset)
+        return jnp.sum(jnp.sin(fw_out)) + jnp.sum(jnp.cos(bw_out))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: loss(bilstm_dual_scan, p, bw, x))(fw)
+    l_got, g_got = jax.value_and_grad(
+        lambda p: loss(
+            lambda *a, **k: bilstm_dual_scan_fused(
+                *a, time_block=8, store_dtype="float32",
+                interpret=True, **k), p, bw, x))(fw)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-5)
+    for (path, r), (_, g) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_got)[0]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(path))
