@@ -28,6 +28,12 @@ learn_rate=0.006
 batch_size=8
 num_train=80
 seed=7
+train_driver=script   # script = scripts/train_oplr.sh (one process per
+                      # epoch, the reference protocol); inproc =
+                      # bin/nnet-train-loop.py (same state machine in
+                      # one process — for per-process-overhead-bound
+                      # environments; equivalence pinned by
+                      # tests/test_train_loop_inproc.py)
 
 . "$SCRIPTS/parse_options.sh" || exit 1
 
@@ -108,14 +114,25 @@ num_experts = $num_experts
 moe_temp = 10.0
 seed = $seed
 EOF
-  bash "$SCRIPTS/train_oplr.sh" \
-    --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
-    --cv-tfrecords-scp "$work/records/dev/tfrecords.scp" \
-    --nnet-config "$work/nnet.config" --dir "$work/exp" \
-    --objective ctc --optimizer adam --learn-rate "$learn_rate" \
-    --max-iter "$max_iter" --min-iters "$min_iters" \
-    --keep-lr-iters "$keep_lr_iters" \
-    --batch-size "$batch_size" --cv-goal loss --shuffle true
+  if [ "$train_driver" = "inproc" ]; then
+    $PYTHON "$BIN/nnet-train-loop.py" \
+      --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
+      --cv-tfrecords-scp "$work/records/dev/tfrecords.scp" \
+      --nnet-config "$work/nnet.config" --dir "$work/exp" \
+      --objective ctc --optimizer adam --learn-rate "$learn_rate" \
+      --max-iter "$max_iter" --min-iters "$min_iters" \
+      --keep-lr-iters "$keep_lr_iters" \
+      --batch-size "$batch_size" --cv-goal loss --shuffle true
+  else
+    bash "$SCRIPTS/train_oplr.sh" \
+      --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
+      --cv-tfrecords-scp "$work/records/dev/tfrecords.scp" \
+      --nnet-config "$work/nnet.config" --dir "$work/exp" \
+      --objective ctc --optimizer adam --learn-rate "$learn_rate" \
+      --max-iter "$max_iter" --min-iters "$min_iters" \
+      --keep-lr-iters "$keep_lr_iters" \
+      --batch-size "$batch_size" --cv-goal loss --shuffle true
+  fi
   # feature-prep markers read by decode_ctc_lat.sh
   echo true > "$work/exp/norm_vars"
   echo false > "$work/exp/add_deltas"
