@@ -54,6 +54,14 @@ def stamp():
     return time.strftime("[%Y/%m/%d %H:%M:%S]")
 
 
+def to_host(tree):
+    """Pull a pytree to host numpy.  train_step donates its params/
+    opt_state/net_state buffers (deleted after the step on TPU), so the
+    retained best-so-far trees must live on host and be re-fed each
+    epoch — otherwise the first rejected epoch reuses a deleted array."""
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
 def read_done(path):
     vals = {}
     with open(path) as fh:
@@ -120,7 +128,7 @@ def main(args):
                 metrics_writer=writer)
         finally:
             writer.close()
-        return params, net_state, float(stats.loss)
+        return to_host(params), to_host(net_state), float(stats.loss)
 
     template_params, template_state = init_from_config(config)
 
@@ -131,10 +139,12 @@ def main(args):
     if os.path.exists(done0):
         params, net_state, _ = load_checkpoint(
             nnet0, template_params, template_state)
+        params, net_state = to_host(params), to_host(net_state)
         vals = read_done(done0)
         cv_loss_best, cv_eval_best = vals["cv_loss"], vals["cv_eval"]
     else:
-        params, net_state = template_params, template_state
+        params = to_host(template_params)
+        net_state = to_host(template_state)
         save_checkpoint(nnet0, params, net_state)
         cv_loss_best, cv_eval_best = validate(params, net_state)
         write_done(done0, cv_loss=cv_loss_best, cv_eval=cv_eval_best)
@@ -157,6 +167,7 @@ def main(args):
             cv_loss, cv_eval = vals["cv_loss"], vals["cv_eval"]
             params, net_state, _ = load_checkpoint(
                 nnet_out, template_params, template_state)
+            params, net_state = to_host(params), to_host(net_state)
         else:
             print("training with learn_rate = %g" % learn_rate, flush=True)
             print("nnet_in = %s" % best_name, flush=True)

@@ -28,6 +28,7 @@ learn_rate=0.006
 batch_size=8
 num_train=80
 seed=7
+nj=2              # decode/record conversion fan-out
 train_driver=script   # script = scripts/train_oplr.sh (one process per
                       # epoch, the reference protocol); inproc =
                       # bin/nnet-train-loop.py (same state machine in
@@ -142,7 +143,7 @@ fi
 
 if [ "$stage" -le 5 ]; then
   echo "===== stage 5: lattice decode + WER ====="
-  bash "$SCRIPTS/decode_ctc_lat.sh" --nj 2 --beam 16.0 \
+  bash "$SCRIPTS/decode_ctc_lat.sh" --nj "$nj" --beam 16.0 \
     --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
     --ntargets "$num_targets" --skip-scoring true \
     "$work/lang" "$work/data/test" "$work/exp/decode_test"
