@@ -42,6 +42,16 @@ for cfg in "${cfg_list[@]}"; do
   for seed in $seeds; do
     work="$work_root/${name}_seed${seed}"
     log="$work_root/${name}_seed${seed}.log"
+    # Resume: a run whose decode already produced wer files is complete —
+    # record it and skip (lets an interrupted protocol pick up where it
+    # stopped; remove the work dir to force a re-run).
+    done_wer=$(best_wer "$work")
+    if [ -n "$done_wer" ]; then
+      wers["$name/$seed"]=$done_wer
+      echo "run_parity: $name seed $seed already done (WER $done_wer), skipping"
+      continue
+    fi
+    rm -rf "$work"   # partial run from an interrupted attempt
     echo "run_parity: $name seed $seed → $work"
     # shellcheck disable=SC2086
     bash "$recipe" --work "$work" --seed "$seed" $args $extra \
