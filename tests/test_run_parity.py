@@ -59,3 +59,32 @@ def test_run_parity_emits_reference_format_table(tmp_path):
     assert "| treatment | 3 | 10.5000 (1.0000) | 9.5000 / 10.5000 / 11.5000 |" \
         in table
     assert "mean (std)" in table
+
+
+def test_run_parity_resumes_completed_seeds(tmp_path):
+    """An interrupted protocol picks up where it stopped: runs whose work
+    dir already holds wer files are recorded and skipped, never re-run."""
+    recipe = tmp_path / "stub_recipe.sh"
+    recipe.write_text(STUB_RECIPE)
+    recipe.chmod(recipe.stat().st_mode | stat.S_IEXEC)
+    out = tmp_path / "RESULT.md"
+    argv = ["bash", os.path.join(REPO, "scripts", "run_parity.sh"),
+            "--seeds", "1 2",
+            "--configs", "baseline=--bonus 0",
+            "--work-root", str(tmp_path / "work"),
+            "--out", str(out)]
+
+    first = subprocess.run(argv + ["--recipe", str(recipe)],
+                           capture_output=True, text=True)
+    assert first.returncode == 0, first.stdout + first.stderr
+    table1 = out.read_text()
+
+    # second pass: the recipe now hard-fails — resume must not invoke it
+    bomb = tmp_path / "bomb.sh"
+    bomb.write_text("#!/bin/bash\nexit 1\n")
+    bomb.chmod(bomb.stat().st_mode | stat.S_IEXEC)
+    second = subprocess.run(argv + ["--recipe", str(bomb)],
+                            capture_output=True, text=True)
+    assert second.returncode == 0, second.stdout + second.stderr
+    assert second.stdout.count("already done") == 2
+    assert out.read_text() == table1
