@@ -29,6 +29,8 @@ batch_size=8
 num_train=80
 seed=7
 nj=2              # decode/record conversion fan-out
+compute_dtype=    # set to bfloat16 to run matmuls in bf16 (accuracy
+                  # gate for flipping the TPU default; docs/BENCHMARKS.md)
 train_driver=script   # script = scripts/train_oplr.sh (one process per
                       # epoch, the reference protocol); inproc =
                       # bin/nnet-train-loop.py (same state machine in
@@ -115,6 +117,8 @@ num_experts = $num_experts
 moe_temp = 10.0
 seed = $seed
 EOF
+  [ -n "$compute_dtype" ] && \
+    echo "compute_dtype = $compute_dtype" >> "$work/nnet.config"
   if [ "$train_driver" = "inproc" ]; then
     $PYTHON "$BIN/nnet-train-loop.py" \
       --tr-tfrecords-scp "$work/records/train/tfrecords.scp" \
