@@ -201,6 +201,42 @@ def test_blstm_moe_end_to_end():
     assert logits.shape == (2, 8, 10)
 
 
+def test_compute_dtype_bfloat16_config_plumbing():
+    """`compute_dtype = bfloat16` in nnet.config (string, as the recipe
+    writes it) must reach the cell matmuls.  This CPU jax build cannot
+    EXECUTE bf16 dots (DotThunk: "Unsupported element type"), so assert
+    at trace level: the jaxpr must contain bf16×bf16 dot_generals, and
+    the final logits must stay f32."""
+    config = dict(WSJ_LIKE_CONFIG, num_experts=4, dropout_rate=1.0,
+                  compute_dtype="bfloat16")
+    params, state = init_model(jax.random.PRNGKey(0), config)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 12), jnp.float32)
+
+    def fwd(params, x):
+        logits, _, _, _ = apply_model(params, state, x,
+                                      jnp.array([8, 5]), config)
+        return logits
+
+    out_shape = jax.eval_shape(fwd, params, x)
+    assert out_shape.dtype == jnp.float32
+
+    jaxpr = jax.make_jaxpr(fwd)(params, x)
+
+    def count_bf16_dots(closed):
+        n = 0
+        for eqn in closed.eqns:
+            if eqn.primitive.name == "dot_general" and all(
+                    v.aval.dtype == jnp.bfloat16 for v in eqn.invars):
+                n += 1
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    n += count_bf16_dots(inner)
+        return n
+
+    assert count_bf16_dots(jaxpr.jaxpr) > 0
+
+
 def test_uniform_label_smoothing_reg():
     config = dict(WSJ_LIKE_CONFIG, uniform_label_sm=0.1)
     params, state = init_model(jax.random.PRNGKey(0), config)
