@@ -42,7 +42,7 @@ from lstm_ctc_tpu.cli import (
 from lstm_ctc_tpu.data import iterate_batches, scan_scp
 from lstm_ctc_tpu.data.pipeline import iterate_utterances
 from lstm_ctc_tpu.train.checkpoint import load_checkpoint
-from lstm_ctc_tpu.train.class_prior import get_class_prior
+from lstm_ctc_tpu.train.class_prior import get_class_prior, subtract_log_prior
 from lstm_ctc_tpu.models import apply_model
 
 
@@ -80,7 +80,7 @@ def main(args):
                 with np.errstate(divide="ignore"):
                     out = np.log(out)
             if class_prior is not None:
-                out = out - class_prior
+                out = subtract_log_prior(out, class_prior)
             note_output_emitted()  # streamed record: unsafe to retry past
             writer.Write(key, out.astype(np.float32))
             processed += 1
@@ -114,7 +114,7 @@ def main(args):
             with np.errstate(divide="ignore"):
                 out = np.log(out)
         if class_prior is not None:
-            out = out - class_prior
+            out = subtract_log_prior(out, class_prior)
         for row, key in enumerate(batch.keys):
             t_len = int(batch.sequence_length[row])
             note_output_emitted()  # streamed record: unsafe to retry past

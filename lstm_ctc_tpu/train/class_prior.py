@@ -35,3 +35,24 @@ def get_class_prior(label_counts_path: str) -> np.ndarray:
     # analyze-counts orders blank first; the network puts blank last.
     log_prior = np.concatenate([log_prior[1:], log_prior[:1]])
     return log_prior.astype(np.float32)
+
+
+def subtract_log_prior(log_post: np.ndarray,
+                       log_prior: np.ndarray) -> np.ndarray:
+    """Pseudo-likelihood for WFST decoding: ``log_post − log_prior``,
+    with zero-count classes SUPPRESSED.
+
+    The reference floors the log-prior of classes absent from the
+    training labels to −1e10 (reference nnet/class_prior.py:36-38) and
+    subtracts it from the log-posterior (reference bin/nnet-forward.py:
+    87-91) — which yields a **+1e10** score: a class that never occurred
+    becomes infinitely attractive, and the WFST decoder finds no sane
+    path.  The intent (Kaldi nnet1 ``PdfPrior``) is the opposite: a
+    never-seen class must never be hypothesized.  This is one of the
+    reference's latent bugs we implement the intended behavior for
+    instead of replicating (it never fires on the full corpora, where
+    every unit occurs, but does on small/partial label sets).
+    """
+    out = log_post - log_prior
+    out[..., log_prior <= LOG_ZERO] = LOG_ZERO
+    return out

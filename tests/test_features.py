@@ -158,3 +158,24 @@ def test_analyze_counts_and_class_prior(tmp_path):
     # blank (index 0, count 2) rotated to the end
     np.testing.assert_allclose(prior[-1], np.log(2 / 6), atol=1e-5)
     np.testing.assert_allclose(prior[0], np.log(1 / 6), atol=1e-5)
+
+
+def test_subtract_log_prior_suppresses_unseen_classes(tmp_path):
+    """A class with zero training count must come out hugely NEGATIVE
+    (never hypothesized), not +1e10 as the reference's subtraction
+    yields (reference nnet/class_prior.py:36-38 + bin/nnet-forward.py:
+    87-91 — a latent bug that only fires when a unit never occurs)."""
+    from lstm_ctc_tpu.train.class_prior import (
+        LOG_ZERO, get_class_prior, subtract_log_prior)
+
+    counts = tmp_path / "label.counts"
+    counts.write_text("[ 3 2 0 1 ]\n")   # class 2 (→ net index 1) unseen
+    prior = get_class_prior(str(counts))
+    assert prior[1] == LOG_ZERO
+
+    log_post = np.log(np.full((5, 4), 0.25, np.float32))
+    out = subtract_log_prior(log_post, prior)
+    assert np.all(out[:, 1] <= LOG_ZERO)
+    # seen classes get the ordinary subtraction
+    np.testing.assert_allclose(out[:, 0], log_post[:, 0] - prior[0],
+                               atol=1e-5)

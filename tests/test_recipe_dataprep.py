@@ -4,9 +4,10 @@ Real corpora (LDC WSJ, OpenSLR LibriSpeech) are not present in CI, so
 these tests build miniature fake corpus trees — WSJ .ndx indices, .dot
 transcripts and "sphere" audio behind a sph2pipe stub; the LibriSpeech
 directory layout with .trans.txt chapters — and drive the actual recipe
-scripts (egs/wsj/run_wsj_phn.sh stages 1-4, egs/libri/run_libri_ph.sh
-stages 1-3) end-to-end: data prep → phone dict → LM training → TLG
-graph → fbank/CMVN → CTC labels → records.
+scripts (egs/wsj/run_wsj_phn.sh stages 1-6, egs/libri/run_libri_ph.sh
+stages 1-6) end-to-end: data prep → phone dict → LM training → TLG
+graph → fbank/CMVN → CTC labels → records → micro training → lattice
+decode + WER sweep → const-arpa rescore.
 
 This executes every helper in egs/wsj/local/ and egs/libri/local/ that
 the recipes use (ndx2flist.pl, flist2scp.pl, find_transcripts.pl,
@@ -148,14 +149,14 @@ def _build_wsj_fixture(root):
 
 
 @pytest.mark.slow
-def test_wsj_recipe_stages_1_to_4(tmp_path):
+def test_wsj_recipe_stages_1_to_6(tmp_path):
     wsj0, wsj1, cmudict, stub_dir = _build_wsj_fixture(tmp_path)
     work = tmp_path / "work"
     path_with_stub = str(stub_dir) + os.pathsep + os.environ.get("PATH", "")
     _run(["bash", os.path.join(REPO, "egs/wsj/run_wsj_phn.sh"),
           "--wsj0", str(wsj0), "--wsj1", str(wsj1),
           "--cmudict", str(cmudict), "--work", str(work),
-          "--stage", "1", "--stop-stage", "4", "--nj", "2",
+          "--stage", "1", "--stop-stage", "6", "--nj", "2",
           # micro model so the 1-iteration CPU training finishes fast
           "--num-layers", "1", "--num-neurons", "16",
           "--num-projects", "8", "--num-experts", "0",
@@ -211,6 +212,20 @@ def test_wsj_recipe_stages_1_to_4(tmp_path):
     assert (exp / "final.nnet").exists()
     assert (exp / "nnet.1").exists()
 
+    # --- stage 5: lattice decode of both test sets (decode_ctc_lat.sh
+    # inside the recipe: forward → blank reorder → native latgen →
+    # acwt-sweep scoring; reference run_wsj_phn.sh:267-277) ---
+    for set_name in ("dev93", "eval92"):
+        wers = list((exp / ("decode_" + set_name)).glob("wer_*"))
+        assert wers, "no wer files for %s" % set_name
+        assert any("summary" in w.read_text() for w in wers)
+
+    # --- stage 6: const-arpa rescore produced its own scored decode dir
+    # (lmrescore_const_arpa.sh; reference run_wsj_phn.sh:279-286) ---
+    for set_name in ("dev93", "eval92"):
+        rescored = exp / ("decode_%s_tgconst" % set_name)
+        assert list(rescored.glob("wer_*")), "no rescored wer files"
+
 
 # ---------------------------------------------------------- LibriSpeech ---
 
@@ -248,11 +263,15 @@ def _build_libri_fixture(root):
 
 
 @pytest.mark.slow
-def test_libri_recipe_stages_1_to_3(tmp_path):
+def test_libri_recipe_stages_1_to_6(tmp_path):
+    import gzip
+
     libri, phn_dict = _build_libri_fixture(tmp_path)
     work = tmp_path / "work"
 
-    # tiny decode ARPA stands in for the downloadable tgsmall LM
+    # tiny ARPAs stand in for the downloadable OpenSLR-11 LMs: tgsmall
+    # passed via --lm-arpa; tgmed/tglarge/fglarge dropped into --lm-dir
+    # so stage 1 builds the tgmed graph and the const-arpa rescore dirs
     lm = tmp_path / "tgsmall.arpa"
     rng = np.random.RandomState(1)
     corpus = tmp_path / "lm_corpus.txt"
@@ -263,11 +282,22 @@ def test_libri_recipe_stages_1_to_3(tmp_path):
                         "--order", "2", str(corpus)],
                        stdout=fh, check=True,
                        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    lm_dir = tmp_path / "lm_dir"
+    lm_dir.mkdir()
+    arpa_bytes = lm.read_bytes()
+    for name in ("lm_tgmed", "lm_tglarge", "lm_fglarge"):
+        with gzip.open(lm_dir / (name + ".arpa.gz"), "wb") as fh:
+            fh.write(arpa_bytes)
 
     _run(["bash", os.path.join(REPO, "egs/libri/run_libri_ph.sh"),
           "--librispeech", str(libri), "--phn-dict", str(phn_dict),
-          "--lm-arpa", str(lm), "--work", str(work),
-          "--stage", "1", "--stop-stage", "3", "--nj", "2"],
+          "--lm-arpa", str(lm), "--lm-dir", str(lm_dir),
+          "--work", str(work),
+          "--stage", "1", "--stop-stage", "6", "--nj", "1",
+          # micro model so CPU training + decode stay fast
+          "--num-layers", "1", "--num-neurons", "16",
+          "--num-projects", "8", "--num-experts", "0",
+          "--batch-size", "4", "--max-iter", "1", "--pack-factor", "2"],
          cwd=REPO)
 
     data = work / "data"
@@ -297,7 +327,29 @@ def test_libri_recipe_stages_1_to_3(tmp_path):
     # dict + priors
     units = (data / "local/dict_phn/units.txt").read_text().splitlines()
     assert all(len(line.split()) == 2 for line in units)
-    exp = work / "exp" / "train_phn_l4_c320_m44"
+    exp = work / "exp" / "train_phn_l1_c16_m0"
     assert (exp / "label.counts").exists()
-    # TLG from the provided ARPA
+    # stage-1 graphs: tgsmall + tgmed TLG, tglarge/fglarge const-arpa
     assert (data / "lang_phn_test_tgsmall" / "TLG.fst").stat().st_size > 0
+    assert (data / "lang_phn_test_tgmed" / "TLG.fst").stat().st_size > 0
+    for lm in ("tglarge", "fglarge"):
+        assert (data / ("lang_phn_test_" + lm) / "G.carpa").stat().st_size > 0
+
+    # stage 4 micro training
+    assert (exp / "final.nnet").exists()
+
+    # stage 5: 4 test sets × {tgsmall, tgmed} lattice decodes, scored
+    # (reference run_libri_ph.sh:322-331)
+    for set_name in ("dev_clean", "dev_other", "test_clean", "test_other"):
+        for lm in ("tgsmall", "tgmed"):
+            wers = list((exp / ("decode_%s_%s" % (set_name, lm)))
+                        .glob("wer_*"))
+            assert wers, "no wer files for %s/%s" % (set_name, lm)
+
+    # stage 6: tglarge/fglarge const-arpa rescores of the tgsmall decodes
+    # (reference run_libri_ph.sh:333-337)
+    for set_name in ("dev_clean", "dev_other", "test_clean", "test_other"):
+        for lm in ("tglarge", "fglarge"):
+            rescored = exp / ("decode_%s_tgsmall_%s" % (set_name, lm))
+            assert list(rescored.glob("wer_*")), \
+                "no rescored wer files for %s/%s" % (set_name, lm)
