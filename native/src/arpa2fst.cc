@@ -147,6 +147,13 @@ Fst ArpaToFst(std::istream& is, const SymbolTable& words,
   // dead end; Connect() trims those.
   log << "arpa2fst: " << count << " n-grams, " << dropped
       << " dropped (OOV), " << fst.NumStates() << " states\n";
+  if (count == 0) {
+    // binary junk (e.g. a still-gzipped ARPA) parses to nothing; an
+    // empty G would silently become an empty TLG downstream
+    throw std::runtime_error(
+        "arpa2fst: no n-grams parsed — is the input a valid "
+        "(uncompressed) ARPA file?");
+  }
   return Connect(fst);
 }
 

@@ -352,6 +352,13 @@ int main(int argc, char** argv) {
       return 1;
     }
     Fst graph = (gfh.peek() == 'L') ? Fst::Read(gfh) : Fst::ReadText(gfh);
+    if (graph.NumStates() == 0 || graph.Start() < 0) {
+      // e.g. a TLG built from an unreadable/empty ARPA composes to the
+      // empty FST; decoding would index state -1
+      std::cerr << "latgen-faster: graph " << args[0]
+                << " is empty (no states/start) — refusing to decode\n";
+      return 1;
+    }
     LatticeDecoder decoder(graph, flags);
 
     SequentialMatrixReader reader(args[1]);

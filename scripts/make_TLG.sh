@@ -7,20 +7,25 @@
 #   dict-src-dir must contain: lexicon.txt ("WORD phone phone ..."),
 #   units.txt ("phone id" starting at 1, no <eps>/<blk>)
 
-set -eu
+set -euo pipefail
 SCRIPT_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 BIN="$SCRIPT_DIR/../bin"
 PYTHON=${PYTHON:-python3}
 FSTBIN=${FSTBIN:-$SCRIPT_DIR/../native/build}
 
 if [ $# != 3 ]; then
-  echo "usage: make_TLG.sh <dict-src-dir> <lm-arpa> <lang-dir>" && exit 1
+  echo "usage: make_TLG.sh <dict-src-dir> <lm-arpa[.gz]> <lang-dir>" && exit 1
 fi
 srcdir=$1
 arpa=$2
 dir=$3
 tmpdir=$dir/tmp
 mkdir -p "$dir" "$tmpdir"
+
+# the OpenSLR/Kaldi LMs ship gzipped; decompress for the native arpa2fst
+case "$arpa" in
+  *.gz) gunzip -c "$arpa" > "$tmpdir/lm.arpa"; arpa=$tmpdir/lm.arpa ;;
+esac
 
 [ ! -f "$srcdir/lexicon.txt" ] && echo "missing $srcdir/lexicon.txt" && exit 1
 [ ! -f "$srcdir/units.txt" ] && echo "missing $srcdir/units.txt" && exit 1

@@ -190,6 +190,51 @@ def test_make_tlg_and_latgen(tmp_path):
     assert decoded == ["cat", "dog"], decoded
 
 
+def test_make_tlg_accepts_gzipped_arpa(tmp_path):
+    """The OpenSLR/Kaldi LMs ship gzipped; make_TLG.sh must decompress
+    (regression: the .gz used to reach arpa2fst raw, yielding an empty
+    G → empty TLG → latgen segfault)."""
+    import gzip
+
+    lang, _ = make_tlg(tmp_path)
+    plain_info = fst_tools("info", str(lang / "TLG.fst"))
+    gz = tmp_path / "lm.arpa.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write((tmp_path / "lm.arpa").read_bytes())
+    lang_gz = tmp_path / "lang_gz"
+    run(["bash", os.path.join(SCRIPTS, "make_TLG.sh"),
+         str(tmp_path / "dict"), str(gz), str(lang_gz)])
+    assert fst_tools("info", str(lang_gz / "TLG.fst")) == plain_info
+
+
+def test_arpa2fst_rejects_junk_input(tmp_path):
+    """Unparseable (e.g. still-compressed) ARPA must be a hard error,
+    not a silent empty G.fst."""
+    words = tmp_path / "words.txt"
+    words.write_text("<eps> 0\ncat 1\n#0 2\n")
+    junk = tmp_path / "junk.arpa"
+    junk.write_bytes(b"\x1f\x8b\x08\x00garbage-not-arpa\x00" * 4)
+    proc = subprocess.run(
+        [os.path.join(FSTBIN, "fst-tools"), "arpa2fst",
+         "--disambig-symbol=#0", "--read-symbol-table=%s" % words,
+         str(junk), str(tmp_path / "G.fst")],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode != 0
+    assert "no n-grams parsed" in proc.stderr
+
+
+def test_latgen_refuses_empty_graph(tmp_path):
+    """An empty graph (0 states) must fail cleanly, not segfault."""
+    empty = tmp_path / "empty.fst"
+    empty.write_text("")   # text FST with no states
+    proc = subprocess.run(
+        [os.path.join(FSTBIN, "latgen-faster"), str(empty),
+         "ark:/dev/null", "ark:/dev/null"],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode == 1
+    assert "empty" in proc.stderr
+
+
 def test_lattice_lmrescore(tmp_path):
     """LM swap through lattice-lmrescore flips an acoustically ambiguous
     decision; same-LM roundtrip (−1 then +1) preserves the best path."""
