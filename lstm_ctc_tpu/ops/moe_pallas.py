@@ -102,7 +102,8 @@ def _segment_matrices(ep: int, eb: int, v: int):
 @functools.lru_cache(maxsize=64)
 def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 tau: float, keep_prob: float, compute_dtype_name: str,
-                n_block: int, interpret: bool):
+                n_block: int, interpret: bool,
+                wgrad_in_kernel: bool = False):
     """Builds the custom-VJP fused mix for one static configuration.
 
     Operates on PADDED arrays: x [Np, D] (Np % n_block == 0), w [D, Ep·V],
@@ -168,8 +169,10 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
                   out_ref, th_ref)
 
-    def _bwd_kernel(seed_ref, x_ref, th_ref, w_ref, gate_ref, gout_ref,
-                    r_ref, s_ref, dx_ref, dgate_ref, dw_ref, db_ref):
+    def _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref, r_ref, s_ref,
+                dx_ref, dgate_ref):
+        """Shared backward math → dz for this (nblk, eblk) tile; also
+        accumulates dx and dgate in place."""
         nblk = pl.program_id(0)
         eblk = pl.program_id(1)
 
@@ -177,13 +180,6 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         def _():
             dx_ref[:] = jnp.zeros_like(dx_ref)
             dgate_ref[:] = jnp.zeros_like(dgate_ref)
-
-        @pl.when((nblk == 0) & (eblk == 0))
-        def _():
-            # dw/db live in one constant-index VMEM buffer across the
-            # whole grid (flushed to HBM once at the end)
-            dw_ref[:] = jnp.zeros_like(dw_ref)
-            db_ref[:] = jnp.zeros_like(db_ref)
 
         th = th_ref[:].astype(jnp.float32)
         a = tau * th
@@ -211,10 +207,36 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             dz.astype(cdt), w_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # weight/bias grads folded into this kernel: one [Nb,D]^T×[Nb,Cb]
-        # MXU matmul per visit accumulated in VMEM — the emitted-dz
-        # stream (the [Np, Ep·V] HBM write + XLA re-read it replaced)
-        # was the head's largest remaining memory-traffic item
+        return dz
+
+    def _bwd_kernel(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
+                    r_ref, s_ref, dx_ref, dgate_ref, dz_ref):
+        # default backward: emit the dz stream; wgrad is one XLA matmul
+        # over it outside the kernel.  MEASURED faster than the in-kernel
+        # accumulator variant below (1.75 ms vs 62 ms isolated head on
+        # v5e): the [D, Ep·V] resident dw buffer serializes the grid on a
+        # read-modify-write carry, killing the DMA/compute overlap.
+        dz = _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
+                     r_ref, s_ref, dx_ref, dgate_ref)
+        dz_ref[:] = dz.astype(dz_ref.dtype)
+
+    def _bwd_kernel_wgrad(seed_ref, x_ref, th_ref, w_ref, gate_ref,
+                          gout_ref, r_ref, s_ref, dx_ref, dgate_ref,
+                          dw_ref, db_ref):
+        # opt-in variant (LSTM_CTC_TPU_MOE_WGRAD=kernel): fold wgrad into
+        # the kernel via a VMEM-resident accumulator.  Saves the dz HBM
+        # round-trip on paper but measures far slower (see above) —
+        # kept for future Mosaic revisions / offline tuning only.
+        nblk = pl.program_id(0)
+        eblk = pl.program_id(1)
+
+        @pl.when((nblk == 0) & (eblk == 0))
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+        dz = _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
+                     r_ref, s_ref, dx_ref, dgate_ref)
         dzc = dz.astype(cdt)
         dw_ref[:, pl.ds(eblk * cb, cb)] += jax.lax.dot_general(
             x_ref[:].astype(cdt), dzc, (((0,), (0,)), ((), ())),
@@ -260,11 +282,47 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             interpret=interpret,
         )(seed, x, w, b, gate, r_mat, s_mat)
 
-    def _pallas_bwd(x, th, w, gate, seed, gout):
+    def _pallas_bwd(th, w, gate, seed, gout):
         np_ = th.shape[0]
         grid = (np_ // n_block, ep // eb)
         return pl.pallas_call(
             _bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((np_, d), jnp.float32),
+                jax.ShapeDtypeStruct((np_, ep), jnp.float32),
+                jax.ShapeDtypeStruct((np_, cp), cdt),
+            ],
+            interpret=interpret,
+        )(seed, th, w, gate, gout, r_mat, s_mat)
+
+    def _pallas_bwd_wgrad(x, th, w, gate, seed, gout):
+        np_ = th.shape[0]
+        grid = (np_ // n_block, ep // eb)
+        return pl.pallas_call(
+            _bwd_kernel_wgrad,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -317,7 +375,17 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
 
     def fused_bwd(res, gout):
         x, w, gate, seed, th = res
-        dx, dgate, dw, db = _pallas_bwd(x, th, w, gate, seed, gout)
+        if wgrad_in_kernel:
+            dx, dgate, dw, db = _pallas_bwd_wgrad(x, th, w, gate, seed,
+                                                  gout)
+        else:
+            dx, dgate, dz = _pallas_bwd(th, w, gate, seed, gout)
+            # weight/bias grads: plain MXU matmul over the emitted dz —
+            # measured cheaper in XLA than the in-kernel accumulator
+            dw = jax.lax.dot_general(
+                x.astype(cdt), dz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db = jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
         return dx, dw.astype(w.dtype), db, dgate, None
 
     fused.defvjp(fused_fwd, fused_bwd)
@@ -340,7 +408,14 @@ def moe_mix_fused(x: jnp.ndarray,
     x [N, D] float32, w_expert [D, E·V], b_expert [E·V], gate [N, E]
     (already softmaxed and gate-dropped).  ``seed`` (int32 scalar/[1])
     drives the expert-logit dropout when keep_prob < 1.
+
+    ``LSTM_CTC_TPU_MOE_WGRAD=kernel`` opts into the in-kernel wgrad
+    accumulator variant (measured slower on current v5e Mosaic — see
+    _bwd_kernel; default is the emitted-dz + XLA-matmul backward).
     """
+    import os
+    wgrad_in_kernel = \
+        os.environ.get("LSTM_CTC_TPU_MOE_WGRAD", "") == "kernel"
     n, d = x.shape
     v = w_expert.shape[1] // num_experts
     eb = expert_block_size(v)
@@ -363,7 +438,7 @@ def moe_mix_fused(x: jnp.ndarray,
 
     fused = _make_fused(d, v, ep, float(moe_temperature), float(keep_prob),
                         jnp.dtype(compute_dtype).name, n_block,
-                        bool(interpret))
+                        bool(interpret), wgrad_in_kernel)
     out = fused(x_p, w, b, gate_p, seed)
     return out[:n]
 

@@ -68,6 +68,33 @@ def test_fused_grads_match_xla_no_dropout():
             err_msg="grad mismatch for %s" % name)
 
 
+def test_fused_grads_wgrad_kernel_variant(monkeypatch):
+    """LSTM_CTC_TPU_MOE_WGRAD=kernel (the opt-in in-kernel wgrad
+    accumulator) must produce the same gradients as the default
+    emitted-dz backward."""
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_WGRAD", "kernel")
+    x, params, gate = make_case(1)
+    tau = 10.0
+    w, b = params["w_expert"], params["b_expert"]
+
+    def loss_ref(x, w, b, gate):
+        return jnp.sum(jnp.sin(xla_mix(x, w, b, gate, 5, tau)))
+
+    def loss_fused(x, w, b, gate):
+        out = moe_mix_fused(x, w, b, gate, 5, tau,
+                            compute_dtype=jnp.float32, n_block=8,
+                            interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    got_grads = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    for got, ref, name in zip(got_grads, ref_grads,
+                              ["x", "w_expert", "b_expert", "gate"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg="grad mismatch for %s" % name)
+
+
 def test_fused_dropout_matches_hash_reference():
     """kp<1: kernel vs the pure-JAX mirror of its hash mask — values AND
     all four gradients."""
