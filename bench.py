@@ -72,11 +72,21 @@ def _sync(x):
     return float(x)
 
 
-def _time_steps_loop(run_once, steps=10):
-    run_once()   # compile + warm
+def _time_steps_loop(run_once, final_sync, steps=10):
+    """Times ``steps`` back-to-back dispatches with ONE host sync at the
+    end.  ``run_once`` must NOT materialize anything on the host: through
+    the remote-TPU transport a per-step scalar sync pays a full tunnel
+    round-trip (~30 ms measured), which once inflated a 20 ms step to
+    50 ms and read as a phantom 2.6x regression.  Successive train steps
+    chain on-device through the donated state, so end-sync timing is
+    exact; for stateless forwards the device queue serializes execution
+    anyway."""
+    run_once()
+    final_sync()   # compile + warm
     t0 = time.perf_counter()
     for _ in range(steps):
         run_once()
+    final_sync()
     return (time.perf_counter() - t0) / steps
 
 
@@ -103,15 +113,15 @@ def bench_unpacked(config, batch_size, time_steps, jax):
     reset()
 
     def run_once():
-        state["p"], state["o"], state["s"], m = train_step(
+        state["p"], state["o"], state["s"], state["m"] = train_step(
             state["p"], state["o"], state["s"], rng, batch)
-        _sync(m["eval_loss"])
 
-    dt = _time_steps_loop(run_once)
+    dt = _time_steps_loop(run_once,
+                          lambda: _sync(state["m"]["eval_loss"]))
     return batch_size * time_steps / dt
 
 
-def bench_packed(config, batch_size, pack_factor, jax):
+def bench_packed(config, batch_size, pack_factor, jax, tiered=True):
     """Shipped recipe config: REAL frames/s over packed rows produced by
     the actual batcher (windowed best-fit) on a WSJ-like length mix."""
     from lstm_ctc_tpu.data.pipeline import BucketedBatcher
@@ -120,9 +130,12 @@ def bench_packed(config, batch_size, pack_factor, jax):
     from lstm_ctc_tpu.models import init_model
 
     # packed slots are rank-major → tiered CTC gather (train/graph.py)
-    config = dict(config, ctc_tiered_slots=True)
+    config = dict(config, ctc_tiered_slots=tiered)
     rng_np = np.random.RandomState(0)
-    n_utts = 256
+    # enough utterances for ~8 full batches — a B·pack_factor batch
+    # consumes batch_size·pf utts, and a fixture smaller than a couple of
+    # batches leaves the packer a degenerate tail (fill collapses)
+    n_utts = max(512, 8 * batch_size * max(pack_factor or 1, 1))
     raw_dim = config["input_dim"]
     # WSJ-ish raw utterance lengths (10 ms frames, pre-subsample)
     lengths = rng_np.randint(200, 1152, size=n_utts)
@@ -180,11 +193,17 @@ def bench_packed(config, batch_size, pack_factor, jax):
     def run_once(i=[0]):
         b = batches[i[0] % len(batches)]
         i[0] += 1
-        state["p"], state["o"], state["s"], m = train_step(
+        state["p"], state["o"], state["s"], state["m"] = train_step(
             state["p"], state["o"], state["s"], rng, b)
-        _sync(m["eval_loss"])
 
-    dt = _time_steps_loop(run_once, steps=len(batches))
+    # warm EVERY bucket shape first — each distinct [B, T] compiles
+    # separately, and a compile inside the timed loop would dominate it
+    for _ in range(len(batches) - 1):
+        run_once()
+
+    dt = _time_steps_loop(run_once,
+                          lambda: _sync(state["m"]["eval_loss"]),
+                          steps=len(batches))
     mean_real = float(np.mean(real_frames))
     return mean_real / dt, fill
 
@@ -229,12 +248,14 @@ def main():
             train=False)
         return logits
 
-    def run_fwd():
-        out = forward(params, batch["nnet_input"],
-                      batch["sequence_length"])
-        _sync(out.sum())
+    fwd_out = {}
 
-    fwd_dt = _time_steps_loop(run_fwd)
+    def run_fwd():
+        fwd_out["o"] = forward(params, batch["nnet_input"],
+                               batch["sequence_length"])
+
+    fwd_dt = _time_steps_loop(run_fwd,
+                              lambda: _sync(fwd_out["o"].sum()))
     fwd_fps = 32 * 384 / fwd_dt
 
     result = {

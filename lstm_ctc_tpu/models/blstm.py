@@ -136,6 +136,26 @@ def _fused_lstm_mode(config, batch):
     return "direct"
 
 
+def _compute_dtype(config):
+    """Matmul operand precision for the LSTM stack (accumulation and the
+    carried state stay float32 — standard TPU mixed precision).  Default
+    is AUTO: bfloat16 on accelerator backends, float32 on CPU (the CPU
+    jax wheel cannot execute bf16 dots, and the scan/Pallas parity tests
+    want bit-exact f32).  bf16-by-default is gated on accuracy: the
+    synthetic recipe reaches the same 0.0%% WER end-to-end under
+    compute_dtype=bfloat16 (docs/BENCHMARKS.md "bf16 gate"), and it is
+    worth +2-3%% frames/s on v5e.  Force with ``compute_dtype = float32``
+    in nnet.config or LSTM_CTC_TPU_COMPUTE_DTYPE=float32."""
+    import os
+    raw = (os.environ.get("LSTM_CTC_TPU_COMPUTE_DTYPE")
+           or str(config.get("compute_dtype", "") or "")).lower()
+    if raw in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if raw in ("float32", "f32", "fp32"):
+        return jnp.float32   # explicit so the MoE head honors it too
+    return None if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def _fused_store_dtype(config):
     """Precision of the fused kernel's remat states + dgates stream (the
     backward's HBM traffic).  bf16 is the shipped TPU default (+11%
@@ -169,8 +189,7 @@ def apply_blstm(params: Dict,
     dims = _model_dims(config)
     keep_prob = float(config.get("dropout_rate", 1.0)) if train else 1.0
     num_layers = dims["num_layers"]
-    compute_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
-        str(config.get("compute_dtype", "")).lower())
+    compute_dtype = _compute_dtype(config)
 
     if reset_mask is None:
         rev = lambda v: reverse_sequence(v, sequence_length)
@@ -225,7 +244,8 @@ def apply_blstm(params: Dict,
         else:
             k_moe = None
         y = apply_moe(params["moe"], flat, dims["num_experts"],
-                      dims["moe_temp"], keep_prob, k_moe)
+                      dims["moe_temp"], keep_prob, k_moe,
+                      compute_dtype=compute_dtype)
     else:
         y = flat @ params["head"]["w"] + params["head"]["b"]
     logits = y.reshape(batch, time_steps, dims["num_targets"])

@@ -64,7 +64,8 @@ def lstm_scan(params: Dict,
               sequence_length: jnp.ndarray,
               forget_bias: float = 1.0,
               reverse: bool = False,
-              initial_state: Optional[Tuple] = None) -> Tuple[jnp.ndarray, Tuple]:
+              initial_state: Optional[Tuple] = None,
+              compute_dtype=None) -> Tuple[jnp.ndarray, Tuple]:
     """Run the cell over time.  x: [B, T, D] → outputs [B, T, P], final
     state (c [B, H], h [B, P]).
 
@@ -72,14 +73,23 @@ def lstm_scan(params: Dict,
     buffer* backwards — callers implement the reference's
     ``tf.reverse_sequence`` trick instead (bilstm.py:112,190), which this
     flag does not replicate; it exists for streaming/No-padding use.
+
+    ``compute_dtype`` casts matmul operands (accumulation and the carried
+    state stay in x.dtype) — same mixed-precision semantics as
+    bilstm_dual_scan.
     """
     batch, time_steps, _ = x.shape
     num_units = params["bias"].shape[0] // 4
     out_dim = params["proj"].shape[1] if "proj" in params else num_units
     use_peepholes = "w_i_diag" in params
+    cdt = compute_dtype or x.dtype
+    wh = params["wh"].astype(cdt)
+    proj_w = params["proj"].astype(cdt) if "proj" in params else None
 
     # One big input projection outside the scan.
-    gates_x = jnp.einsum("btd,dh->bth", x, params["wx"]) + params["bias"]
+    gates_x = jnp.einsum("btd,dh->bth", x.astype(cdt),
+                         params["wx"].astype(cdt),
+                         preferred_element_type=x.dtype) + params["bias"]
     gates_x = jnp.moveaxis(gates_x, 1, 0)                     # [T, B, 4H]
     mask = (jnp.arange(time_steps)[:, None]
             < sequence_length[None, :]).astype(x.dtype)       # [T, B]
@@ -90,7 +100,8 @@ def lstm_scan(params: Dict,
     def step(carry, inputs):
         c, h = carry
         g_x, m = inputs
-        gates = g_x + h @ params["wh"]
+        gates = g_x + jax.lax.dot(h.astype(cdt), wh,
+                                  preferred_element_type=x.dtype)
         i, j, f, o = jnp.split(gates, 4, axis=-1)
         if use_peepholes:
             i = i + params["w_i_diag"] * c
@@ -100,8 +111,9 @@ def lstm_scan(params: Dict,
         if use_peepholes:
             o = o + params["w_o_diag"] * c_new
         out = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        if "proj" in params:
-            out = out @ params["proj"]
+        if proj_w is not None:
+            out = jax.lax.dot(out.astype(cdt), proj_w,
+                              preferred_element_type=x.dtype)
         m = m[:, None]
         c_next = m * c_new + (1.0 - m) * c
         h_next = m * out + (1.0 - m) * h

@@ -35,11 +35,13 @@ def _make_scan_fn(config, batch):
     """Unidirectional scan dispatch, mirroring blstm: the fused Pallas
     whole-sequence kernel on TPU (per-shard under shard_map on meshes),
     the XLA scan on CPU / odd batches / replicated fallbacks."""
-    from .blstm import _fused_lstm_mode
+    import functools
+
+    from .blstm import _compute_dtype, _fused_lstm_mode
+    compute_dtype = _compute_dtype(config)
     mode = _fused_lstm_mode(config, batch)
     if mode is None or batch % 2 != 0:
-        return lstm_scan
-    import functools
+        return functools.partial(lstm_scan, compute_dtype=compute_dtype)
 
     import jax as _jax
 
@@ -48,13 +50,18 @@ def _make_scan_fn(config, batch):
     store_dtype = _fused_store_dtype(config)
     if mode == "sharded":
         if (batch // config["mesh"].devices.size) % 2 != 0:
-            return lstm_scan  # per-shard batch must stay even
+            # per-shard batch must stay even
+            return functools.partial(lstm_scan,
+                                     compute_dtype=compute_dtype)
         from ..ops.lstm_pallas import lstm_scan_sharded
         return functools.partial(lstm_scan_sharded, config["mesh"],
+                                 compute_dtype=compute_dtype,
                                  store_dtype=store_dtype,
                                  interpret=interpret)
     from ..ops.lstm_pallas import lstm_scan_fused
-    return functools.partial(lstm_scan_fused, store_dtype=store_dtype,
+    return functools.partial(lstm_scan_fused,
+                             compute_dtype=compute_dtype,
+                             store_dtype=store_dtype,
                              interpret=interpret)
 from .moe import apply_moe, init_moe
 
@@ -175,8 +182,10 @@ def apply_lstm(params: Dict,
             dropout_rng, k_moe = jax.random.split(dropout_rng)
         else:
             k_moe = None
+        from .blstm import _compute_dtype
         y = apply_moe(params["moe"], flat, dims["num_experts"],
-                      dims["moe_temp"], keep_prob, k_moe)
+                      dims["moe_temp"], keep_prob, k_moe,
+                      compute_dtype=_compute_dtype(config))
     else:
         y = flat @ params["head"]["w"] + params["head"]["b"]
     logits = y.reshape(batch, time_steps, dims["num_targets"])

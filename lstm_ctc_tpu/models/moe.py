@@ -53,8 +53,13 @@ def apply_moe(params: Dict,
               num_experts: int,
               moe_temperature: float,
               keep_prob: float = 1.0,
-              dropout_rng=None) -> jnp.ndarray:
-    """x: [N, output_dim] → mixed logits [N, num_targets]."""
+              dropout_rng=None,
+              compute_dtype=None) -> jnp.ndarray:
+    """x: [N, output_dim] → mixed logits [N, num_targets].
+
+    ``compute_dtype``: operand precision for the fused expert tile
+    (None = backend default: bf16 on TPU, f32 on CPU — same resolution
+    as blstm._compute_dtype)."""
     from ..ops.moe_pallas import fused_eligible, moe_mix_fused
 
     gate_logits = x @ params["w_prior"] + params["b_prior"]      # [N, E]
@@ -78,8 +83,8 @@ def apply_moe(params: Dict,
             num_experts, moe_temperature,
             keep_prob=keep_prob if use_dropout else 1.0,
             seed=seed,
-            compute_dtype=jnp.float32 if backend == "cpu"
-            else jnp.bfloat16,
+            compute_dtype=compute_dtype or (
+                jnp.float32 if backend == "cpu" else jnp.bfloat16),
             interpret=backend == "cpu")
 
     expert = moe_temperature * jnp.tanh(

@@ -79,8 +79,10 @@ class StreamingSession:
             out = layer_out
         flat = out.reshape(-1, out.shape[-1])
         if dims["num_experts"] > 0:
+            from .blstm import _compute_dtype
             y = apply_moe(params["moe"], flat, dims["num_experts"],
-                          dims["moe_temp"])
+                          dims["moe_temp"],
+                          compute_dtype=_compute_dtype(config))
         else:
             y = flat @ params["head"]["w"] + params["head"]["b"]
         return y.reshape(1, -1, dims["num_targets"]), new_states

@@ -212,10 +212,10 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
     def _bwd_kernel(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
                     r_ref, s_ref, dx_ref, dgate_ref, dz_ref):
         # default backward: emit the dz stream; wgrad is one XLA matmul
-        # over it outside the kernel.  MEASURED faster than the in-kernel
-        # accumulator variant below (1.75 ms vs 62 ms isolated head on
-        # v5e): the [D, Ep·V] resident dw buffer serializes the grid on a
-        # read-modify-write carry, killing the DMA/compute overlap.
+        # over it outside the kernel.  MEASURED ~23 ms/step faster than
+        # the in-kernel accumulator variant below on v5e (flagship head
+        # shapes): the [D, Ep·V] resident dw buffer serializes the grid
+        # on a read-modify-write carry, killing the DMA/compute overlap.
         dz = _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
                      r_ref, s_ref, dx_ref, dgate_ref)
         dz_ref[:] = dz.astype(dz_ref.dtype)

@@ -237,6 +237,54 @@ def test_compute_dtype_bfloat16_config_plumbing():
     assert count_bf16_dots(jaxpr.jaxpr) > 0
 
 
+def test_compute_dtype_default_resolution(monkeypatch):
+    """AUTO default: f32 on the CPU backend (this wheel cannot execute
+    bf16 dots), bf16 on accelerators — gated on the synthetic recipe
+    reaching 0.0% WER under bf16 (docs/BENCHMARKS.md).  Explicit config
+    and the env var override both directions."""
+    from lstm_ctc_tpu.models.blstm import _compute_dtype
+
+    monkeypatch.delenv("LSTM_CTC_TPU_COMPUTE_DTYPE", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert _compute_dtype({}) is None
+    assert _compute_dtype({"compute_dtype": "bfloat16"}) == jnp.bfloat16
+    assert _compute_dtype({"compute_dtype": "float32"}) == jnp.float32
+    monkeypatch.setenv("LSTM_CTC_TPU_COMPUTE_DTYPE", "bf16")
+    assert _compute_dtype({"compute_dtype": "float32"}) == jnp.bfloat16
+    monkeypatch.setenv("LSTM_CTC_TPU_COMPUTE_DTYPE", "f32")
+    assert _compute_dtype({"compute_dtype": "bfloat16"}) == jnp.float32
+
+
+def test_compute_dtype_bfloat16_unidirectional_plumbing():
+    """The config knob must reach the unidirectional families' cell
+    matmuls too (lstm._make_scan_fn partials) — trace-level, as above."""
+    config = dict(WSJ_LIKE_CONFIG, nnet_type="lstm", num_experts=0,
+                  dropout_rate=1.0, compute_dtype="bfloat16")
+    params, state = init_model(jax.random.PRNGKey(0), config)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 12), jnp.float32)
+
+    def fwd(params, x):
+        logits, _, _, _ = apply_model(params, state, x,
+                                      jnp.array([8, 5]), config)
+        return logits
+
+    jaxpr = jax.make_jaxpr(fwd)(params, x)
+
+    def count_bf16_dots(closed):
+        n = 0
+        for eqn in closed.eqns:
+            if eqn.primitive.name == "dot_general" and all(
+                    v.aval.dtype == jnp.bfloat16 for v in eqn.invars):
+                n += 1
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    n += count_bf16_dots(inner)
+        return n
+
+    assert count_bf16_dots(jaxpr.jaxpr) > 0
+
+
 def test_uniform_label_smoothing_reg():
     config = dict(WSJ_LIKE_CONFIG, uniform_label_sm=0.1)
     params, state = init_model(jax.random.PRNGKey(0), config)
