@@ -72,22 +72,37 @@ def _sync(x):
     return float(x)
 
 
-def _time_steps_loop(run_once, final_sync, steps=10):
-    """Times ``steps`` back-to-back dispatches with ONE host sync at the
-    end.  ``run_once`` must NOT materialize anything on the host: through
-    the remote-TPU transport a per-step scalar sync pays a full tunnel
-    round-trip (~30 ms measured), which once inflated a 20 ms step to
-    50 ms and read as a phantom 2.6x regression.  Successive train steps
-    chain on-device through the donated state, so end-sync timing is
-    exact; for stateless forwards the device queue serializes execution
-    anyway."""
+def _time_steps_loop(run_once, final_sync, steps=100, steps_small=10):
+    """Steady-state seconds/step via a TWO-WINDOW measurement.
+
+    Rules learned the hard way on the remote-TPU transport:
+    - ``run_once`` must NOT materialize anything on the host: a per-step
+      scalar sync pays a full tunnel round-trip (~30-40 ms), which once
+      inflated a 20 ms step to 50 ms and read as a phantom 2.6x
+      regression.  Steps chain on-device (donated state), so end-of-loop
+      sync timing is exact; for stateless forwards the device queue
+      serializes execution anyway.
+    - Even a synced loop carries ONE constant ~38 ms term (first-dispatch
+      + final-sync round-trip), which biases a single short window low:
+      measured 650k (N=10) / 754k (N=30) / 794k (N=100) / 806k (N=300)
+      frames/s for a 15.13 ms step.  Timing two windows and differencing
+      cancels the constant exactly: step = (t_big − t_small)/(N_big −
+      N_small).  The N=10/N=100 pair reproduces the N=300 asymptote
+      within 1%.
+    """
     run_once()
     final_sync()   # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        run_once()
-    final_sync()
-    return (time.perf_counter() - t0) / steps
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            run_once()
+        final_sync()
+        return time.perf_counter() - t0
+
+    t_small = window(steps_small)
+    t_big = window(steps)
+    return (t_big - t_small) / (steps - steps_small)
 
 
 def bench_unpacked(config, batch_size, time_steps, jax):
@@ -121,7 +136,7 @@ def bench_unpacked(config, batch_size, time_steps, jax):
     return batch_size * time_steps / dt
 
 
-def bench_packed(config, batch_size, pack_factor, jax, tiered=True):
+def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
     """Shipped recipe config: REAL frames/s over packed rows produced by
     the actual batcher (windowed best-fit) on a WSJ-like length mix."""
     from lstm_ctc_tpu.data.pipeline import BucketedBatcher
@@ -173,12 +188,17 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=True):
             "sequence_length": b.sequence_length,
             "nnet_target": b.nnet_target,
             "target_length": b.target_length,
-            "reset_mask": b.reset_mask,
-            "utt_time_index": b.utt_time_index,
-            "utt_sequence_length": b.utt_sequence_length,
         }
+        if (pack_factor or 1) > 1:
+            arrays["reset_mask"] = b.reset_mask
+            arrays["utt_time_index"] = b.utt_time_index
+            arrays["utt_sequence_length"] = b.utt_sequence_length
+            real = int(np.sum(b.utt_sequence_length))
+        else:
+            # unpacked control: one utterance per row
+            real = int(np.sum(b.sequence_length))
         batches.append({k: jax.device_put(v) for k, v in arrays.items()})
-        real_frames.append(int(np.sum(b.utt_sequence_length)))
+        real_frames.append(real)
     padded = batches[0]["nnet_input"].shape[0] \
         * batches[0]["nnet_input"].shape[1]
     fill = float(np.mean([f / padded for f in real_frames]))
@@ -203,7 +223,8 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=True):
 
     dt = _time_steps_loop(run_once,
                           lambda: _sync(state["m"]["eval_loss"]),
-                          steps=len(batches))
+                          steps=9 * len(batches),
+                          steps_small=len(batches))
     mean_real = float(np.mean(real_frames))
     return mean_real / dt, fill
 

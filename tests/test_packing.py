@@ -286,6 +286,38 @@ def test_batcher_packs_all_utterances():
     assert sorted(seen) == sorted(m.key for m in metas)
 
 
+def test_tiered_gather_is_opt_in(monkeypatch, tmp_path):
+    """cli.build_batcher must leave ctc_tiered_slots OFF for packed rows
+    unless asked (env or config) — the tier gather measured as a wash on
+    v5e (docs/BENCHMARKS.md round 3), so the simpler full-width view is
+    the shipped default."""
+    from lstm_ctc_tpu import cli
+
+    from lstm_ctc_tpu.data.records import RecordMeta
+
+    metas = [RecordMeta("u%d" % i, 40 + i, 8, False, "mem", i)
+             for i in range(8)]
+    monkeypatch.delenv("LSTM_CTC_TPU_CTC_TIERED", raising=False)
+    monkeypatch.setattr(cli, "scan_scp", lambda p: metas)
+    cfg = {}
+    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
+                      pack_factor=3)
+    assert cfg["ctc_tiered_slots"] is False
+    monkeypatch.setenv("LSTM_CTC_TPU_CTC_TIERED", "1")
+    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
+                      pack_factor=3)
+    assert cfg["ctc_tiered_slots"] is True
+    monkeypatch.delenv("LSTM_CTC_TPU_CTC_TIERED")
+    cfg = {"ctc_tiered_slots": True}
+    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
+                      pack_factor=3)
+    assert cfg["ctc_tiered_slots"] is True
+    cfg = {"ctc_tiered_slots": True}
+    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
+                      pack_factor=1)   # unpacked: layout contract absent
+    assert cfg["ctc_tiered_slots"] is False
+
+
 def test_tiered_ctc_gather_matches_full_width():
     """compute_losses with ctc_tiered_slots (rank-tier static widths)
     must produce the same loss and gradients as the full-width gather on
