@@ -63,6 +63,45 @@ def _make_scan_fn(config, batch):
                              compute_dtype=compute_dtype,
                              store_dtype=store_dtype,
                              interpret=interpret)
+def _stack_outputs(config, params_list, x, sequence_length,
+                   residual_flags):
+    """Whole-stack wavefront kernel (ops/lstm_stack_pallas): runs all L
+    unidirectional layers in one diagonal time loop, cutting the
+    sequential chain from T·L dependent recurrent matmuls to ~T steps
+    of L independent ones.  Returns outputs [B, T, P] or None when the
+    per-layer path must be used (CPU/scan mode, non-uniform stack,
+    layer-0 residual, LSTM_CTC_TPU_LSTM_STACK=0)."""
+    import os
+
+    from .blstm import _compute_dtype, _fused_lstm_mode, \
+        _fused_store_dtype
+    if os.environ.get("LSTM_CTC_TPU_LSTM_STACK", "1") == "0":
+        return None
+    mode = _fused_lstm_mode(config, x.shape[0])
+    if mode is None:
+        return None
+    from ..ops.lstm_stack_pallas import (lstm_stack_fused,
+                                         lstm_stack_sharded,
+                                         stack_eligible)
+    if not stack_eligible(params_list):
+        return None
+    import jax as _jax
+    interpret = _jax.default_backend() == "cpu"
+    cdt = _compute_dtype(config)
+    sdt = _fused_store_dtype(config)
+    if mode == "sharded":
+        out, _ = lstm_stack_sharded(
+            config["mesh"], params_list, x, sequence_length, 1.0,
+            residual_flags=tuple(residual_flags), compute_dtype=cdt,
+            store_dtype=sdt, interpret=interpret)
+    else:
+        out, _ = lstm_stack_fused(
+            params_list, x, sequence_length, 1.0,
+            residual_flags=tuple(residual_flags), compute_dtype=cdt,
+            store_dtype=sdt, interpret=interpret)
+    return out
+
+
 from .moe import apply_moe, init_moe
 
 BN_MOMENTUM = 0.99
@@ -160,20 +199,31 @@ def apply_lstm(params: Dict,
     if dims["use_bn"]:
         x, new_state["bn_in"] = _apply_bn(
             params["bn_in"], state["bn_in"], x, train)
-    scan_fn = _make_scan_fn(config, x.shape[0])
-    for i in range(dims["num_layers"]):
-        residual = not (i == 0 and dims["input_dim"] != dims["output_dim"])
-        out, _ = scan_fn(params["layers"][i], x, sequence_length,
-                         forget_bias=1.0)
-        if residual:
-            out = out + x                  # ResidualWrapper, lstm.py:250-258
-        if keep_prob < 1.0 and dropout_rng is not None:
-            dropout_rng, k = jax.random.split(dropout_rng)
-            out = dropout(k, out, keep_prob)
-        if dims["use_bn"]:
-            out, new_state["bn"][i] = _apply_bn(
-                params["bn"][i], state["bn"][i], out, train)
-        x = out
+    res_flags = [not (i == 0 and dims["input_dim"] != dims["output_dim"])
+                 for i in range(dims["num_layers"])]
+    stacked = None
+    if not dims["use_bn"] and not (keep_prob < 1.0
+                                   and dropout_rng is not None):
+        # no inter-layer elementwise stages → whole-stack wavefront
+        stacked = _stack_outputs(config, params["layers"], x,
+                                 sequence_length, res_flags)
+    if stacked is not None:
+        x = stacked
+    else:
+        scan_fn = _make_scan_fn(config, x.shape[0])
+        for i in range(dims["num_layers"]):
+            residual = res_flags[i]
+            out, _ = scan_fn(params["layers"][i], x, sequence_length,
+                             forget_bias=1.0)
+            if residual:
+                out = out + x              # ResidualWrapper, lstm.py:250-258
+            if keep_prob < 1.0 and dropout_rng is not None:
+                dropout_rng, k = jax.random.split(dropout_rng)
+                out = dropout(k, out, keep_prob)
+            if dims["use_bn"]:
+                out, new_state["bn"][i] = _apply_bn(
+                    params["bn"][i], state["bn"][i], out, train)
+            x = out
 
     batch, time_steps, _ = x.shape
     flat = x.reshape(batch * time_steps, dims["output_dim"])
@@ -220,9 +270,15 @@ def apply_cudnnlstm(params: Dict,
                     dropout_rng=None):
     dims = _dims(config)
     x = nnet_input
-    scan_fn = _make_scan_fn(config, x.shape[0])
-    for cell in params["layers"]:
-        x, _ = scan_fn(cell, x, sequence_length, forget_bias=1.0)
+    stacked = _stack_outputs(config, params["layers"], x,
+                             sequence_length,
+                             [False] * dims["num_layers"])
+    if stacked is not None:
+        x = stacked
+    else:
+        scan_fn = _make_scan_fn(config, x.shape[0])
+        for cell in params["layers"]:
+            x, _ = scan_fn(cell, x, sequence_length, forget_bias=1.0)
     batch, time_steps, _ = x.shape
     flat = x.reshape(batch * time_steps, dims["num_neurons"])
     y = flat @ params["head"]["w"] + params["head"]["b"]

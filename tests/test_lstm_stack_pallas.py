@@ -1,0 +1,157 @@
+"""Wavefront whole-stack kernel (ops/lstm_stack_pallas) vs the XLA scan
+composition — values, gradients, final states, ragged lengths.
+
+Runs the Pallas kernels in interpret mode (CPU); f32 store/compute for
+bit-comparable parity, mirroring tests/test_lstm_pallas.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lstm_ctc_tpu.models.cells import init_lstm_cell, lstm_scan
+from lstm_ctc_tpu.ops.lstm_stack_pallas import (lstm_stack_fused,
+                                                stack_eligible)
+
+B, T, H = 4, 20, 16
+D0 = 24
+
+
+def make_stack(num_layers, num_proj, use_peepholes, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    params = []
+    d = D0
+    out_dim = num_proj or H
+    for _ in range(num_layers):
+        rng, k = jax.random.split(rng)
+        params.append(init_lstm_cell(k, d, H, num_proj,
+                                     use_peepholes=use_peepholes))
+        d = out_dim
+    return params
+
+
+def ref_stack(params_list, x, seq_len, residual_flags):
+    """The models/lstm.py per-layer composition (scan path)."""
+    out = x
+    for p, res in zip(params_list, residual_flags):
+        y, state = lstm_scan(p, out, seq_len, forget_bias=1.0)
+        out = y + out if res else y
+    return out
+
+
+def run_fused(params_list, x, seq_len, residual_flags):
+    return lstm_stack_fused(params_list, x, seq_len, 1.0,
+                            residual_flags=tuple(residual_flags),
+                            compute_dtype=None, store_dtype="float32",
+                            time_block=8, interpret=True)
+
+
+@pytest.mark.parametrize("num_proj,peep,resid", [
+    (None, False, False),     # cudnnlstm family
+    (12, True, True),         # lstm family (proj + peepholes + residual)
+])
+def test_stack_forward_matches_scan(num_proj, peep, resid):
+    params = make_stack(3, num_proj, peep)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, T - 3, 5, 1], jnp.int32)
+    flags = [False] + [resid, resid]
+    want = ref_stack(params, x, seq, flags)
+    got, states = run_fused(params, x, seq, flags)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert len(states) == 3
+
+
+def test_stack_final_states_match_scan():
+    params = make_stack(2, 12, True)
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, 7, T - 1, 3], jnp.int32)
+    flags = [False, True]
+    _, states = run_fused(params, x, seq, flags)
+    # reference: run layer by layer, collecting scan final states
+    out = x
+    for idx, (p, res) in enumerate(zip(params, flags)):
+        y, (c_f, h_f) = lstm_scan(p, out, seq, forget_bias=1.0)
+        np.testing.assert_allclose(np.asarray(states[idx][0]),
+                                   np.asarray(c_f), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(states[idx][1]),
+                                   np.asarray(h_f), rtol=2e-5, atol=2e-5)
+        out = y + out if res else y
+
+
+@pytest.mark.parametrize("num_proj,peep,resid", [
+    (None, False, False),
+    (12, True, True),
+])
+def test_stack_grads_match_scan(num_proj, peep, resid):
+    params = make_stack(3, num_proj, peep, seed=2)
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, T - 5, 9, 2], jnp.int32)
+    flags = [False, resid, resid]
+
+    def loss_ref(params, x):
+        return jnp.sum(jnp.sin(ref_stack(params, x, seq, flags)))
+
+    def loss_fused(params, x):
+        out, _ = run_fused(params, x, seq, flags)
+        return jnp.sum(jnp.sin(out))
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    got_g = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got_g[1]),
+                               np.asarray(ref_g[1]),
+                               rtol=5e-5, atol=5e-5, err_msg="dx")
+    for l, (gp, rp) in enumerate(zip(got_g[0], ref_g[0])):
+        for name in rp:
+            np.testing.assert_allclose(
+                np.asarray(gp[name]), np.asarray(rp[name]),
+                rtol=5e-5, atol=5e-5,
+                err_msg="layer %d grad %s" % (l, name))
+
+
+def test_stack_eligibility_rules():
+    ok = make_stack(3, 12, True)
+    assert stack_eligible(ok)
+    assert not stack_eligible(ok[:1])          # single layer
+    # layer-0 residual config: input dim == output dim
+    rng = jax.random.PRNGKey(3)
+    p0 = init_lstm_cell(rng, 12, H, 12, use_peepholes=True)
+    assert not stack_eligible([p0] + ok[1:])
+
+
+def test_model_dispatch_uses_stack(monkeypatch):
+    """apply_cudnnlstm must route through the wavefront kernel when the
+    fused mode is forced, and match the scan path exactly."""
+    from lstm_ctc_tpu.models.lstm import apply_cudnnlstm, init_cudnnlstm
+
+    config = {"nnet_type": "cudnnlstm", "input_dim": D0,
+              "left_context": 0, "right_context": 0, "subsample": 0,
+              "num_layers": 3, "num_neurons": H, "num_projects": None,
+              "num_targets": 10, "use_peepholes": False}
+    params = init_cudnnlstm(jax.random.PRNGKey(0), config)
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, 11, 6, 2], jnp.int32)
+
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "scan")
+    want, _, _ = apply_cudnnlstm(params, x, seq, config)
+
+    calls = {}
+    import lstm_ctc_tpu.ops.lstm_stack_pallas as sp
+    orig = sp.lstm_stack_fused
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, "lstm_stack_fused", spy)
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "pallas")
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
+    got, _, _ = apply_cudnnlstm(params, x, seq, config)
+    assert calls.get("hit"), "wavefront kernel was not dispatched"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
