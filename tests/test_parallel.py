@@ -174,3 +174,53 @@ def test_sharded_unidirectional_fused_matches_scan(monkeypatch):
             jax.tree_util.tree_leaves_with_path(p_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5)
+
+
+def test_sharded_stack_wavefront_matches_scan(monkeypatch):
+    """lstm_stack_sharded (the whole-stack wavefront kernel under
+    shard_map) must match the XLA-scan DP step.  num_projects != input
+    dim so the stack path is eligible (no layer-0 residual)."""
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
+
+    mesh = get_mesh()
+    config = dict(CONFIG, nnet_type="lstm", mesh=mesh, num_layers=3,
+                  input_dim=6, num_neurons=16, num_projects=8)
+    batch = make_batch()
+    params, net_state = init_model(jax.random.PRNGKey(5), config)
+    params = jax.tree.map(np.asarray, params)
+    rng = jax.random.PRNGKey(11)
+    replicated = NamedSharding(mesh, P())
+
+    calls = {}
+    import lstm_ctc_tpu.ops.lstm_stack_pallas as sp
+    orig = sp.lstm_stack_sharded
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, "lstm_stack_sharded", spy)
+
+    def run(impl):
+        monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", impl)
+        init_opt, train_step = make_train_step(config, learn_rate=1e-2,
+                                               optimizer="adam")
+        p = jax.device_put(params, replicated)
+        o = init_opt(p)
+        s = jax.device_put(net_state, replicated)
+        for _ in range(2):
+            p, o, s, m = train_step(p, o, s,
+                                    jax.device_put(rng, replicated),
+                                    shard_batch(mesh, batch))
+        return p, m
+
+    p_scan, m_scan = run("scan")
+    p_fused, m_fused = run("pallas")
+    assert calls.get("hit"), "wavefront stack kernel was not dispatched"
+    np.testing.assert_allclose(float(m_scan["eval_loss"]),
+                               float(m_fused["eval_loss"]), rtol=1e-5)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_scan),
+            jax.tree_util.tree_leaves_with_path(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
