@@ -102,6 +102,33 @@ def _stack_outputs(config, params_list, x, sequence_length,
     return out
 
 
+def _stack_chunk(config, params_list, x, sequence_length, residual_flags,
+                 initial_states):
+    """Streaming variant of _stack_outputs: chunk-carried (c, h) states
+    in and out.  Returns (outputs, [(c, h)] states) or None to fall
+    back to the per-layer scan loop."""
+    import os
+
+    from .blstm import _compute_dtype, _fused_lstm_mode, \
+        _fused_store_dtype
+    if os.environ.get("LSTM_CTC_TPU_LSTM_STACK", "1") == "0":
+        return None
+    if _fused_lstm_mode(config, x.shape[0]) != "direct":
+        return None    # streaming is single-device, batch 1
+    from ..ops.lstm_stack_pallas import lstm_stack_fused, stack_eligible
+    if not stack_eligible(params_list):
+        return None
+    import jax as _jax
+    out, states = lstm_stack_fused(
+        params_list, x, sequence_length, 1.0,
+        residual_flags=tuple(residual_flags),
+        compute_dtype=_compute_dtype(config),
+        store_dtype=_fused_store_dtype(config),
+        interpret=_jax.default_backend() == "cpu",
+        initial_states=list(initial_states))
+    return out, states
+
+
 from .moe import apply_moe, init_moe
 
 BN_MOMENTUM = 0.99

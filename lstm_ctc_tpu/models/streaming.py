@@ -63,20 +63,31 @@ class StreamingSession:
         if use_bn:
             out, _ = _apply_bn(params["bn_in"], net_state["bn_in"], out,
                                train=False)
-        for i, cell in enumerate(params["layers"]):
-            residual = config["nnet_type"] == "lstm" and not (
-                i == 0 and dims["input_dim"] != dims["output_dim"])
-            layer_out, state = lstm_scan(
-                cell, out, seq_len, forget_bias=1.0,
-                initial_state=states[i])
-            if residual:
-                layer_out = layer_out + out
-            if use_bn:
-                layer_out, _ = _apply_bn(params["bn"][i],
-                                         net_state["bn"][i], layer_out,
-                                         train=False)
-            new_states.append(state)
-            out = layer_out
+        res_flags = [config["nnet_type"] == "lstm" and not (
+            i == 0 and dims["input_dim"] != dims["output_dim"])
+            for i in range(dims["num_layers"])]
+        stacked = None
+        if not use_bn:
+            # whole-stack wavefront kernel with chunk-carried states
+            from .lstm import _stack_chunk
+            stacked = _stack_chunk(config, params["layers"], out,
+                                   seq_len, res_flags, states)
+        if stacked is not None:
+            out, new_states = stacked
+        else:
+            for i, cell in enumerate(params["layers"]):
+                residual = res_flags[i]
+                layer_out, state = lstm_scan(
+                    cell, out, seq_len, forget_bias=1.0,
+                    initial_state=states[i])
+                if residual:
+                    layer_out = layer_out + out
+                if use_bn:
+                    layer_out, _ = _apply_bn(params["bn"][i],
+                                             net_state["bn"][i],
+                                             layer_out, train=False)
+                new_states.append(state)
+                out = layer_out
         flat = out.reshape(-1, out.shape[-1])
         if dims["num_experts"] > 0:
             from .blstm import _compute_dtype

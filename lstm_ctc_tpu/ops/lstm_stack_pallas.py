@@ -69,7 +69,7 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
     p2 = 2 * out_dim
 
     def kernel(gx0_ref, mask_ref, wz_ref, bias_ref, proj_ref,
-               wi_ref, wf_ref, wo_ref,
+               wi_ref, wf_ref, wo_ref, cinit_ref, hinit_ref,
                out_ref, chain_ref, call_ref, hall_ref, cfin_ref, hfin_ref,
                c_ref, h_ref, in_ref):
         blk = pl.program_id(0)
@@ -77,8 +77,8 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
         @pl.when(blk == 0)
         def _():
-            c_ref[:] = jnp.zeros_like(c_ref)
-            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = cinit_ref[:]
+            h_ref[:] = hinit_ref[:]
             in_ref[:] = jnp.zeros_like(in_ref)
 
         def step(tt, carry):
@@ -163,7 +163,7 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                wz_ref, bias_ref, proj_ref, wi_ref, wf_ref, wo_ref,
                dout_ref, dcfin_ref, dhfin_ref,
                dgx0_ref, dwz_ref, dbias_ref, dproj_ref, dwi_ref,
-               dwf_ref, dwo_ref,
+               dwf_ref, dwo_ref, dcinit_ref, dhinit_ref,
                dc_ref, dh_ref, din_ref,
                awz_ref, abias_ref, aproj_ref, awi_ref, awf_ref, awo_ref,
                cnew_ref, outh_ref, doutp_ref, dgs_ref):
@@ -330,6 +330,10 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
         def _():
             dwz_ref[:] = awz_ref[:]
             dbias_ref[:] = abias_ref[:]
+            # after the last (earliest-time) block, the carried (dc, dh)
+            # are the initial-state cotangents
+            dcinit_ref[:] = dc_ref[:]
+            dhinit_ref[:] = dh_ref[:]
             if use_proj:
                 dproj_ref[:] = aproj_ref[:]
             if use_peep:
@@ -380,11 +384,11 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=110 * 1024 * 1024)
 
-    def pallas_fwd(gx0, mask, wz, bias, proj, wi, wf, wo):
+    def pallas_fwd(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
         return pl.pallas_call(
             fwd_kernel,
             grid=(nblk,),
-            in_specs=[tb_rows(batch, h4), tb_rows(lb, 1)] + [full()] * 6,
+            in_specs=[tb_rows(batch, h4), tb_rows(lb, 1)] + [full()] * 8,
             out_specs=[tb_rows(batch, out_dim), tb_rows(lb, out_dim),
                        tb_rows(lb, num_units), tb_rows(lb, out_dim),
                        full(), full()],
@@ -402,7 +406,7 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                             pltpu.VMEM((lb, out_dim), jnp.float32)],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(gx0, mask, wz, bias, proj, wi, wf, wo)
+        )(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
 
     def pallas_bwd(gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
                    wi, wf, wo, dout, dcfin, dhfin):
@@ -413,7 +417,7 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                        rev_rows(lb, num_units), rev_rows(lb, out_dim),
                        rev_rows(lb, out_dim)] + [full()] * 6
                       + [rev_rows(batch, out_dim), full(), full()]),
-            out_specs=[rev_rows(batch, h4)] + [full()] * 6,
+            out_specs=[rev_rows(batch, h4)] + [full()] * 8,
             out_shape=[
                 jax.ShapeDtypeStruct((padded_s, batch, h4), store_dt),
                 jax.ShapeDtypeStruct((num_layers * p2, h4), jnp.float32),
@@ -423,6 +427,8 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 jax.ShapeDtypeStruct((lb, num_units), jnp.float32),
                 jax.ShapeDtypeStruct((lb, num_units), jnp.float32),
                 jax.ShapeDtypeStruct((lb, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((lb, num_units), jnp.float32),
+                jax.ShapeDtypeStruct((lb, out_dim), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((lb, num_units), jnp.float32),    # dc
@@ -449,26 +455,28 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
           wi, wf, wo, dout, dcfin, dhfin)
 
     @jax.custom_vjp
-    def fused(gx0, mask, wz, bias, proj, wi, wf, wo):
+    def fused(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
         out, _, _, _, cfin, hfin = pallas_fwd(gx0, mask, wz, bias, proj,
-                                              wi, wf, wo)
+                                              wi, wf, wo, cinit, hinit)
         return out, cfin, hfin
 
-    def fused_fwd(gx0, mask, wz, bias, proj, wi, wf, wo):
+    def fused_fwd(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
         out, chain, c_all, h_all, cfin, hfin = pallas_fwd(
-            gx0, mask, wz, bias, proj, wi, wf, wo)
+            gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
         res = (gx0, mask, chain, c_all, h_all, wz, bias, proj, wi, wf,
-               wo)
+               wo, cinit, hinit)
         return (out, cfin, hfin), res
 
     def fused_bwd(res, cots):
         dout, dcfin, dhfin = cots
         (gx0, mask, chain, c_all, h_all, wz, bias, proj, wi, wf,
-         wo) = res
-        zc = jnp.zeros((1,) + c_all.shape[1:], c_all.dtype)
-        zh = jnp.zeros((1,) + h_all.shape[1:], h_all.dtype)
-        c_prev = jnp.concatenate([zc, c_all[:-1]], axis=0)
-        h_prev = jnp.concatenate([zh, h_all[:-1]], axis=0)
+         wo, cinit, hinit) = res
+        # the state BEFORE wavefront step 0 is the initial state (for
+        # layers l ≥ 1 the s=0 row is masked off anyway)
+        c_prev = jnp.concatenate(
+            [cinit.astype(c_all.dtype)[None], c_all[:-1]], axis=0)
+        h_prev = jnp.concatenate(
+            [hinit.astype(h_all.dtype)[None], h_all[:-1]], axis=0)
         # in_l(s) = chain_{l-1}(s-1): shift one wavefront step in time
         # AND one layer (B rows) down; layer-0 rows are inert because
         # wz's layer-0 input slab is zero
@@ -477,7 +485,8 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
             axis=1)
         zi = jnp.zeros((1,) + shifted_rows.shape[1:], shifted_rows.dtype)
         in_prev = jnp.concatenate([zi, shifted_rows[:-1]], axis=0)
-        (dgx0, dwz, dbias_rows, dproj, dwi, dwf, dwo) = pallas_bwd(
+        (dgx0, dwz, dbias_rows, dproj, dwi, dwf, dwo, dcinit,
+         dhinit) = pallas_bwd(
             gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj, wi, wf,
             wo, dout.astype(jnp.float32), dcfin.astype(jnp.float32),
             dhfin.astype(jnp.float32))
@@ -485,7 +494,8 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 dwz.astype(wz.dtype), dbias_rows.astype(bias.dtype),
                 dproj.astype(proj.dtype),
                 dwi.astype(wi.dtype), dwf.astype(wf.dtype),
-                dwo.astype(wo.dtype))
+                dwo.astype(wo.dtype),
+                dcinit.astype(cinit.dtype), dhinit.astype(hinit.dtype))
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -512,13 +522,18 @@ def stack_eligible(params_list):
 def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
                      residual_flags=None, compute_dtype=None,
                      store_dtype="bfloat16", time_block=None,
-                     interpret=False):
+                     interpret=False, initial_states=None):
     """Run the whole unidirectional stack in one wavefront kernel.
 
     params_list: one cells.init_lstm_cell dict per layer (uniform
     in/out dims beyond layer 0).  residual_flags: per-layer bools —
     layer l's chain output = masked scan output + (flag ? input : 0),
     mirroring models/lstm.py's ResidualWrapper placement.
+
+    initial_states: optional [(c_l, h_l)] per layer (streaming chunk
+    continuation — cross-chunk state is exactly the per-layer (c, h);
+    the wavefront ring buffer refills during each chunk's L−1 fill
+    steps).
 
     Returns (outputs [B, T, P], [(c_l, h_l) final states per layer]).
     """
@@ -589,6 +604,15 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
         & (t_idx < sequence_length[None, None, :])        # [S, L, B]
     mask = valid.astype(jnp.float32).reshape(padded_s, lb, 1)
 
+    if initial_states is None:
+        cinit = jnp.zeros((lb, num_units), jnp.float32)
+        hinit = jnp.zeros((lb, out_dim), jnp.float32)
+    else:
+        cinit = jnp.concatenate(
+            [c.astype(jnp.float32) for c, _ in initial_states], axis=0)
+        hinit = jnp.concatenate(
+            [h.astype(jnp.float32) for _, h in initial_states], axis=0)
+
     fused = _make_fused(
         time_steps, num_layers, batch, num_units, out_dim,
         float(forget_bias), use_peep, use_proj, residual,
@@ -596,7 +620,7 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
         bool(interpret))
     out, cfin, hfin = fused(gx0, mask, wz, bias, proj,
                             peep("w_i_diag"), peep("w_f_diag"),
-                            peep("w_o_diag"))
+                            peep("w_o_diag"), cinit, hinit)
     outputs = jnp.moveaxis(
         out[num_layers - 1:num_layers - 1 + time_steps], 0, 1)
     states = [(cfin[l * batch:(l + 1) * batch],

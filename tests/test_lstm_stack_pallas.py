@@ -155,3 +155,70 @@ def test_model_dispatch_uses_stack(monkeypatch):
     assert calls.get("hit"), "wavefront kernel was not dispatched"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stack_chunked_continuation_matches_one_shot():
+    """Streaming contract: running two chunks with carried (c, h) per
+    layer must equal the one-shot run — the wavefront ring buffer
+    refills during each chunk's fill steps, so cross-chunk state is
+    exactly the per-layer (c, h)."""
+    params = make_stack(3, 12, True, seed=5)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq_full = jnp.full((B,), T, jnp.int32)
+    flags = [False, True, True]
+    want, want_states = run_fused(params, x, seq_full, flags)
+
+    half = T // 2
+    seq_half = jnp.full((B,), half, jnp.int32)
+    out1, st1 = lstm_stack_fused(
+        params, x[:, :half], seq_half, 1.0, residual_flags=tuple(flags),
+        compute_dtype=None, store_dtype="float32", time_block=8,
+        interpret=True)
+    out2, st2 = lstm_stack_fused(
+        params, x[:, half:], seq_half, 1.0, residual_flags=tuple(flags),
+        compute_dtype=None, store_dtype="float32", time_block=8,
+        interpret=True, initial_states=st1)
+    got = jnp.concatenate([out1, out2], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    for (ca, ha), (cb, hb) in zip(st2, want_states):
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_stack_initial_state_gradients():
+    """d(initial states) must match autodiff through the scan
+    composition with an explicit initial_state on layer 0."""
+    params = make_stack(2, None, False, seed=6)
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, T - 2, 4, 1], jnp.int32)
+    flags = [False, False]
+    c0 = jnp.asarray(rs.randn(B, H) * 0.1, jnp.float32)
+    h0 = jnp.asarray(rs.randn(B, H) * 0.1, jnp.float32)
+    zc = jnp.zeros((B, H), jnp.float32)
+
+    def loss_ref(c0, h0):
+        out = x
+        states = [(c0, h0), (zc, zc)]
+        for p, st in zip(params, states):
+            out, _ = lstm_scan(p, out, seq, forget_bias=1.0,
+                               initial_state=st)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_fused(c0, h0):
+        out, _ = lstm_stack_fused(
+            params, x, seq, 1.0, residual_flags=tuple(flags),
+            compute_dtype=None, store_dtype="float32", time_block=8,
+            interpret=True, initial_states=[(c0, h0), (zc, zc)])
+        return jnp.sum(jnp.sin(out))
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1))(c0, h0)
+    got_g = jax.grad(loss_fused, argnums=(0, 1))(c0, h0)
+    np.testing.assert_allclose(np.asarray(got_g[0]), np.asarray(ref_g[0]),
+                               rtol=5e-5, atol=5e-5, err_msg="dc0")
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=5e-5, atol=5e-5, err_msg="dh0")

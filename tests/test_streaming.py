@@ -118,3 +118,36 @@ def test_streaming_forward_cli(tmp_path):
     for key in outs["batch"]:
         np.testing.assert_allclose(outs["stream"][key], outs["batch"][key],
                                    atol=2e-3)
+
+
+def test_streaming_stack_kernel_matches_offline(monkeypatch):
+    """With the fused mode forced (interpret on CPU), the streaming
+    session routes chunks through the wavefront whole-stack kernel with
+    carried states — and must still match the offline forward."""
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "pallas")
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
+    config = dict(BASE_CONFIG)
+    params, state = init_model(jax.random.PRNGKey(2), config)
+    raw = np.random.RandomState(3).randn(41, 6).astype(np.float32)
+
+    calls = {}
+    import lstm_ctc_tpu.ops.lstm_stack_pallas as sp
+    orig = sp.lstm_stack_fused
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, "lstm_stack_fused", spy)
+
+    ref = offline_logits(params, state, config, raw)
+    session = StreamingSession(params, state, config, chunk_size=16)
+    chunks = []
+    for start in range(0, raw.shape[0], 11):
+        chunks.append(session.process(raw[start:start + 11]))
+    chunks.append(session.process(None, flush=True))
+    got = np.concatenate(chunks, axis=0)
+
+    assert calls.get("hit"), "streaming did not use the stack kernel"
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
