@@ -222,3 +222,38 @@ def test_stack_initial_state_gradients():
                                rtol=5e-5, atol=5e-5, err_msg="dc0")
     np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
                                rtol=5e-5, atol=5e-5, err_msg="dh0")
+
+
+def test_model_dispatch_lstm_family(monkeypatch):
+    """apply_lstm (peepholes + projection + residual, no BN/dropout)
+    must route through the wavefront kernel and match the scan path."""
+    from lstm_ctc_tpu.models import apply_model, init_model
+
+    config = {"nnet_type": "lstm", "input_dim": D0,
+              "left_context": 0, "right_context": 0, "subsample": 0,
+              "num_layers": 3, "num_neurons": H, "num_projects": 12,
+              "num_targets": 10, "use_peepholes": True,
+              "dropout_rate": 1.0, "num_experts": 0}
+    params, state = init_model(jax.random.PRNGKey(7), config)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, 13, 8, 2], jnp.int32)
+
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "scan")
+    want, _, _, _ = apply_model(params, state, x, seq, config)
+
+    calls = {}
+    import lstm_ctc_tpu.ops.lstm_stack_pallas as sp
+    orig = sp.lstm_stack_fused
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, "lstm_stack_fused", spy)
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "pallas")
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
+    got, _, _, _ = apply_model(params, state, x, seq, config)
+    assert calls.get("hit"), "wavefront kernel was not dispatched"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
