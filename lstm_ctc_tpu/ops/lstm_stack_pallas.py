@@ -133,10 +133,14 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
             chain_ref[tt] = chain.astype(chain_ref.dtype)
             call_ref[tt] = c_next.astype(call_ref.dtype)
             hall_ref[tt] = h_next.astype(hall_ref.dtype)
-            # ring shift: layer l+1's next input = layer l's chain value
-            in_next = jnp.concatenate(
-                [jnp.zeros((batch, out_dim), jnp.float32),
-                 chain[:lb - batch]], axis=0)
+            # ring shift: layer l+1's next input = layer l's chain
+            # value.  pltpu.roll + mask, NOT a concat of a sliced
+            # operand — Mosaic rejects concats whose operand offset
+            # differs from its placement ("result/input offset
+            # mismatch on non-concat dimension").
+            row = jax.lax.broadcasted_iota(jnp.int32, (lb, 1), 0)
+            in_next = jnp.where(row < batch, 0.0,
+                                pltpu.roll(chain, batch, 0))
             return c_next, h_next, in_next
 
         c, h, inb = jax.lax.fori_loop(
@@ -224,10 +228,13 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
             # --- backward through wavefront step s ---
             # chain_l cotangent: the last layer's comes from the output
-            # stream, layers below from layer l+1's din (ring-shifted up)
-            dchain = jnp.concatenate(
-                [dinbuf[batch:],
-                 dout_ref[tt].astype(jnp.float32)], axis=0)
+            # stream (full [LB, P] rows, zeros off the last layer),
+            # layers below from layer l+1's din ring-shifted UP via
+            # roll+mask (see the forward's Mosaic concat note)
+            row = jax.lax.broadcasted_iota(jnp.int32, (lb, 1), 0)
+            rolled = pltpu.roll(dinbuf, lb - batch, 0)
+            dchain = jnp.where(row < lb - batch, rolled, 0.0) \
+                + dout_ref[tt].astype(jnp.float32)
             # outp feeds h_next (m·outp) and chain (m·outp)
             dout_p = m * (dchain + dh)
             dh_prev = (1.0 - m) * dh
@@ -416,7 +423,7 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
             in_specs=([rev_rows(batch, h4), rev_rows(lb, 1),
                        rev_rows(lb, num_units), rev_rows(lb, out_dim),
                        rev_rows(lb, out_dim)] + [full()] * 6
-                      + [rev_rows(batch, out_dim), full(), full()]),
+                      + [rev_rows(lb, out_dim), full(), full()]),
             out_specs=[rev_rows(batch, h4)] + [full()] * 8,
             out_shape=[
                 jax.ShapeDtypeStruct((padded_s, batch, h4), store_dt),
@@ -485,10 +492,17 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
             axis=1)
         zi = jnp.zeros((1,) + shifted_rows.shape[1:], shifted_rows.dtype)
         in_prev = jnp.concatenate([zi, shifted_rows[:-1]], axis=0)
+        # the kernel reads the output cotangent at full [LB, P] rows
+        # (zeros off the last layer) so the in-kernel merge is a plain
+        # add instead of an offset-mismatched concat
+        dout_full = jnp.concatenate(
+            [jnp.zeros((dout.shape[0], lb - batch, out_dim),
+                       jnp.float32),
+             dout.astype(jnp.float32)], axis=1)
         (dgx0, dwz, dbias_rows, dproj, dwi, dwf, dwo, dcinit,
          dhinit) = pallas_bwd(
             gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj, wi, wf,
-            wo, dout.astype(jnp.float32), dcfin.astype(jnp.float32),
+            wo, dout_full, dcfin.astype(jnp.float32),
             dhfin.astype(jnp.float32))
         return (dgx0.astype(gx0.dtype), jnp.zeros_like(mask),
                 dwz.astype(wz.dtype), dbias_rows.astype(bias.dtype),
