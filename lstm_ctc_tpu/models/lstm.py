@@ -64,13 +64,15 @@ def _make_scan_fn(config, batch):
                              store_dtype=store_dtype,
                              interpret=interpret)
 def _stack_outputs(config, params_list, x, sequence_length,
-                   residual_flags):
+                   residual_flags, keep_prob=1.0, dropout_rng=None):
     """Whole-stack wavefront kernel (ops/lstm_stack_pallas): runs all L
     unidirectional layers in one diagonal time loop, cutting the
     sequential chain from T·L dependent recurrent matmuls to ~T steps
-    of L independent ones.  Returns outputs [B, T, P] or None when the
-    per-layer path must be used (CPU/scan mode, non-uniform stack,
-    layer-0 residual, LSTM_CTC_TPU_LSTM_STACK=0)."""
+    of L independent ones.  Inter-layer dropout runs in-kernel via a
+    hash mask (same keep-prob semantics as the XLA path, different
+    stream).  Returns outputs [B, T, P] or None when the per-layer path
+    must be used (CPU/scan mode, non-uniform stack, layer-0 residual,
+    LSTM_CTC_TPU_LSTM_STACK=0)."""
     import os
 
     from .blstm import _compute_dtype, _fused_lstm_mode, \
@@ -89,7 +91,14 @@ def _stack_outputs(config, params_list, x, sequence_length,
     interpret = _jax.default_backend() == "cpu"
     cdt = _compute_dtype(config)
     sdt = _fused_store_dtype(config)
+    use_dropout = keep_prob < 1.0 and dropout_rng is not None
+    seed = _jax.random.randint(
+        dropout_rng, (1,), -2 ** 31, 2 ** 31 - 1,
+        dtype=jnp.int32) if use_dropout else None
+    kp = keep_prob if use_dropout else 1.0
     if mode == "sharded":
+        if use_dropout:
+            return None   # per-shard hash seeds not plumbed yet
         out, _ = lstm_stack_sharded(
             config["mesh"], params_list, x, sequence_length, 1.0,
             residual_flags=tuple(residual_flags), compute_dtype=cdt,
@@ -98,7 +107,8 @@ def _stack_outputs(config, params_list, x, sequence_length,
         out, _ = lstm_stack_fused(
             params_list, x, sequence_length, 1.0,
             residual_flags=tuple(residual_flags), compute_dtype=cdt,
-            store_dtype=sdt, interpret=interpret)
+            store_dtype=sdt, interpret=interpret,
+            keep_prob=kp, seed=seed)
     return out
 
 
@@ -229,11 +239,13 @@ def apply_lstm(params: Dict,
     res_flags = [not (i == 0 and dims["input_dim"] != dims["output_dim"])
                  for i in range(dims["num_layers"])]
     stacked = None
-    if not dims["use_bn"] and not (keep_prob < 1.0
-                                   and dropout_rng is not None):
-        # no inter-layer elementwise stages → whole-stack wavefront
+    if not dims["use_bn"]:
+        # BN needs whole-sequence batch statistics → per-layer path;
+        # dropout runs in-kernel (hash mask)
         stacked = _stack_outputs(config, params["layers"], x,
-                                 sequence_length, res_flags)
+                                 sequence_length, res_flags,
+                                 keep_prob=keep_prob,
+                                 dropout_rng=dropout_rng)
     if stacked is not None:
         x = stacked
     else:

@@ -63,12 +63,17 @@ def _auto_time_block(num_layers, batch):
 
 
 def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
-                     use_peep, use_proj, cdt, residual):
-    """residual: static tuple of L floats (1.0 → chain_l += in_l)."""
+                     use_peep, use_proj, cdt, residual, keep_prob,
+                     time_block):
+    """residual: static tuple of L floats (1.0 → chain_l += in_l).
+    keep_prob < 1: inter-layer dropout on the chain values via the same
+    counter-based hash as the MoE kernel (same keep-prob semantics as
+    the XLA path, different stream)."""
     lb = num_layers * batch
     p2 = 2 * out_dim
+    dropout = keep_prob < 1.0
 
-    def kernel(gx0_ref, mask_ref, wz_ref, bias_ref, proj_ref,
+    def kernel(seed_ref, gx0_ref, mask_ref, wz_ref, bias_ref, proj_ref,
                wi_ref, wf_ref, wo_ref, cinit_ref, hinit_ref,
                out_ref, chain_ref, call_ref, hall_ref, cfin_ref, hfin_ref,
                c_ref, h_ref, in_ref):
@@ -129,6 +134,13 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                 [jnp.full((batch, 1), residual[l], jnp.float32)
                  for l in range(num_layers)], axis=0)
             chain = m * outp + rvec * inb
+            if dropout:
+                from .moe_pallas import hash_uniform
+                s_glob = blk * time_block + tt
+                u = hash_uniform(seed_ref[0], s_glob * lb, 0, lb,
+                                 out_dim)
+                chain = chain * (u < keep_prob).astype(jnp.float32) \
+                    * (1.0 / keep_prob)
             out_ref[tt] = chain[lb - batch:].astype(out_ref.dtype)
             chain_ref[tt] = chain.astype(chain_ref.dtype)
             call_ref[tt] = c_next.astype(call_ref.dtype)
@@ -158,12 +170,15 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
 
 def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
-                     use_peep, use_proj, cdt, residual):
+                     use_peep, use_proj, cdt, residual, keep_prob,
+                     time_block):
     lb = num_layers * batch
     h4 = 4 * num_units
     p2 = 2 * out_dim
+    dropout = keep_prob < 1.0
 
-    def kernel(gx0_ref, mask_ref, cprev_ref, hprev_ref, inprev_ref,
+    def kernel(seed_ref, gx0_ref, mask_ref, cprev_ref, hprev_ref,
+               inprev_ref,
                wz_ref, bias_ref, proj_ref, wi_ref, wf_ref, wo_ref,
                dout_ref, dcfin_ref, dhfin_ref,
                dgx0_ref, dwz_ref, dbias_ref, dproj_ref, dwi_ref,
@@ -235,6 +250,15 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
             rolled = pltpu.roll(dinbuf, lb - batch, 0)
             dchain = jnp.where(row < lb - batch, rolled, 0.0) \
                 + dout_ref[tt].astype(jnp.float32)
+            if dropout:
+                # regenerate the forward's hash mask: the cotangent of
+                # the PRE-dropout chain is dchain · mask / keep_prob
+                from .moe_pallas import hash_uniform
+                s_glob = (nblk - 1 - blk) * time_block + tt
+                u = hash_uniform(seed_ref[0], s_glob * lb, 0, lb,
+                                 out_dim)
+                dchain = dchain * (u < keep_prob).astype(jnp.float32) \
+                    * (1.0 / keep_prob)
             # outp feeds h_next (m·outp) and chain (m·outp)
             dout_p = m * (dchain + dh)
             dh_prev = (1.0 - m) * dh
@@ -362,7 +386,7 @@ def _pad_time(x, padded_t):
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 forget_bias, use_peep, use_proj, residual, cdt_name,
-                store_name, time_block, interpret):
+                store_name, time_block, interpret, keep_prob=1.0):
     cdt = jnp.dtype(cdt_name)
     store_dt = jnp.dtype(store_name)
     lb = num_layers * batch
@@ -374,10 +398,10 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
 
     fwd_kernel = _make_fwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
-                                  residual)
+                                  residual, keep_prob, time_block)
     bwd_kernel = _make_bwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
-                                  residual)
+                                  residual, keep_prob, time_block)
 
     tb_rows = lambda rows, width: pl.BlockSpec(
         (time_block, rows, width), lambda t: (t, 0, 0),
@@ -391,11 +415,13 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=110 * 1024 * 1024)
 
-    def pallas_fwd(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
+    def pallas_fwd(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit,
+                   hinit):
         return pl.pallas_call(
             fwd_kernel,
             grid=(nblk,),
-            in_specs=[tb_rows(batch, h4), tb_rows(lb, 1)] + [full()] * 8,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      tb_rows(batch, h4), tb_rows(lb, 1)] + [full()] * 8,
             out_specs=[tb_rows(batch, out_dim), tb_rows(lb, out_dim),
                        tb_rows(lb, num_units), tb_rows(lb, out_dim),
                        full(), full()],
@@ -413,14 +439,15 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                             pltpu.VMEM((lb, out_dim), jnp.float32)],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
+        )(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
 
-    def pallas_bwd(gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
-                   wi, wf, wo, dout, dcfin, dhfin):
+    def pallas_bwd(seed, gx0, mask, c_prev, h_prev, in_prev, wz, bias,
+                   proj, wi, wf, wo, dout, dcfin, dhfin):
         return pl.pallas_call(
             bwd_kernel,
             grid=(nblk,),
-            in_specs=([rev_rows(batch, h4), rev_rows(lb, 1),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM),
+                       rev_rows(batch, h4), rev_rows(lb, 1),
                        rev_rows(lb, num_units), rev_rows(lb, out_dim),
                        rev_rows(lb, out_dim)] + [full()] * 6
                       + [rev_rows(lb, out_dim), full(), full()]),
@@ -458,25 +485,27 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
             ],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
+        )(seed, gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
           wi, wf, wo, dout, dcfin, dhfin)
 
     @jax.custom_vjp
-    def fused(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
-        out, _, _, _, cfin, hfin = pallas_fwd(gx0, mask, wz, bias, proj,
-                                              wi, wf, wo, cinit, hinit)
+    def fused(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
+        out, _, _, _, cfin, hfin = pallas_fwd(seed, gx0, mask, wz, bias,
+                                              proj, wi, wf, wo, cinit,
+                                              hinit)
         return out, cfin, hfin
 
-    def fused_fwd(gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
+    def fused_fwd(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit,
+                  hinit):
         out, chain, c_all, h_all, cfin, hfin = pallas_fwd(
-            gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
-        res = (gx0, mask, chain, c_all, h_all, wz, bias, proj, wi, wf,
-               wo, cinit, hinit)
+            seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
+        res = (seed, gx0, mask, chain, c_all, h_all, wz, bias, proj, wi,
+               wf, wo, cinit, hinit)
         return (out, cfin, hfin), res
 
     def fused_bwd(res, cots):
         dout, dcfin, dhfin = cots
-        (gx0, mask, chain, c_all, h_all, wz, bias, proj, wi, wf,
+        (seed, gx0, mask, chain, c_all, h_all, wz, bias, proj, wi, wf,
          wo, cinit, hinit) = res
         # the state BEFORE wavefront step 0 is the initial state (for
         # layers l ≥ 1 the s=0 row is masked off anyway)
@@ -501,10 +530,10 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
              dout.astype(jnp.float32)], axis=1)
         (dgx0, dwz, dbias_rows, dproj, dwi, dwf, dwo, dcinit,
          dhinit) = pallas_bwd(
-            gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj, wi, wf,
-            wo, dout_full, dcfin.astype(jnp.float32),
+            seed, gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
+            wi, wf, wo, dout_full, dcfin.astype(jnp.float32),
             dhfin.astype(jnp.float32))
-        return (dgx0.astype(gx0.dtype), jnp.zeros_like(mask),
+        return (None, dgx0.astype(gx0.dtype), jnp.zeros_like(mask),
                 dwz.astype(wz.dtype), dbias_rows.astype(bias.dtype),
                 dproj.astype(proj.dtype),
                 dwi.astype(wi.dtype), dwf.astype(wf.dtype),
@@ -536,7 +565,8 @@ def stack_eligible(params_list):
 def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
                      residual_flags=None, compute_dtype=None,
                      store_dtype="bfloat16", time_block=None,
-                     interpret=False, initial_states=None):
+                     interpret=False, initial_states=None,
+                     keep_prob=1.0, seed=None):
     """Run the whole unidirectional stack in one wavefront kernel.
 
     params_list: one cells.init_lstm_cell dict per layer (uniform
@@ -548,6 +578,12 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
     continuation — cross-chunk state is exactly the per-layer (c, h);
     the wavefront ring buffer refills during each chunk's L−1 fill
     steps).
+
+    keep_prob < 1 applies inter-layer dropout to the chain values
+    (after the residual add, matching models/lstm.py's stage order) via
+    an in-kernel counter-based hash mask driven by ``seed`` (int32
+    scalar/[1]) — same keep-prob semantics as the XLA path, different
+    stream.
 
     Returns (outputs [B, T, P], [(c_l, h_l) final states per layer]).
     """
@@ -627,12 +663,16 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
         hinit = jnp.concatenate(
             [h.astype(jnp.float32) for _, h in initial_states], axis=0)
 
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
     fused = _make_fused(
         time_steps, num_layers, batch, num_units, out_dim,
         float(forget_bias), use_peep, use_proj, residual,
         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name, time_block,
-        bool(interpret))
-    out, cfin, hfin = fused(gx0, mask, wz, bias, proj,
+        bool(interpret), keep_prob=float(keep_prob))
+    out, cfin, hfin = fused(seed, gx0, mask, wz, bias, proj,
                             peep("w_i_diag"), peep("w_f_diag"),
                             peep("w_o_diag"), cinit, hinit)
     outputs = jnp.moveaxis(

@@ -257,3 +257,65 @@ def test_model_dispatch_lstm_family(monkeypatch):
     assert calls.get("hit"), "wavefront kernel was not dispatched"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stack_dropout_matches_hash_reference():
+    """keep_prob < 1: the in-kernel hash dropout must equal a pure-JAX
+    mirror of the same counter-based mask applied to the scan
+    composition — values and gradients."""
+    from lstm_ctc_tpu.ops.moe_pallas import hash_uniform
+
+    num_layers, kp = 3, 0.8
+    params = make_stack(num_layers, 12, True, seed=8)
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, T - 4, 7, 2], jnp.int32)
+    flags = (False, True, True)
+    seed = jnp.asarray([12345], jnp.int32)
+    out_dim = 12
+    lb = num_layers * B
+    s_steps = T + num_layers - 1
+    tb = 8
+    padded_s = -(-s_steps // tb) * tb
+
+    # the kernel's mask, regenerated outside: M[s] over [LB, P]
+    masks = jnp.stack([
+        (hash_uniform(seed[0], s * lb, 0, lb, out_dim) < kp)
+        .astype(jnp.float32) / kp
+        for s in range(padded_s)])                       # [S, LB, P]
+
+    def ref(params, x):
+        out = x
+        for l, (p, r) in enumerate(zip(params, flags)):
+            y, _ = lstm_scan(p, out, seq, forget_bias=1.0)
+            chain = y + out if r else y
+            # layer l at time t was masked at wavefront step s = t + l
+            msel = jnp.stack([masks[t + l, l * B:(l + 1) * B]
+                              for t in range(T)], axis=1)  # [B, T, P]
+            out = chain * msel
+        return out
+
+    def fused(params, x):
+        out, _ = lstm_stack_fused(
+            params, x, seq, 1.0, residual_flags=flags,
+            compute_dtype=None, store_dtype="float32", time_block=tb,
+            interpret=True, keep_prob=kp, seed=seed)
+        return out
+
+    want = ref(params, x)
+    got = fused(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    ref_g = jax.grad(lambda p, x: jnp.sum(jnp.sin(ref(p, x))),
+                     argnums=(0, 1))(params, x)
+    got_g = jax.grad(lambda p, x: jnp.sum(jnp.sin(fused(p, x))),
+                     argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=5e-5, atol=5e-5, err_msg="dx")
+    for l, (gp, rp) in enumerate(zip(got_g[0], ref_g[0])):
+        for name in rp:
+            np.testing.assert_allclose(
+                np.asarray(gp[name]), np.asarray(rp[name]),
+                rtol=5e-5, atol=5e-5,
+                err_msg="layer %d grad %s" % (l, name))
