@@ -28,10 +28,11 @@ Semantics mirror models/lstm.py exactly: TF gate order, runtime forget
 bias, optional peepholes + projection, per-layer residual
 (chain_l = masked_scan_out_l + in_l), dynamic_rnn masking (m=0 freezes
 the carry, so wavefront steps outside a layer's valid time range are
-no-ops and the final states fall out correctly).  Configs with
-inter-layer dropout or batch-norm fall back to the per-layer path (BN
-needs whole-sequence batch statistics; dropout masks would add a
-[S, L·B, P] stream that costs more than the wavefront saves).
+no-ops and the final states fall out correctly).  Inter-layer dropout
+runs in-kernel via the MoE head's counter-based hash mask (same
+keep-prob semantics as the XLA path, different stream); only batch-norm
+configs fall back to the per-layer path (BN needs whole-sequence batch
+statistics).
 
 Backward: a reverse wavefront with matmul-level remat — gates are
 recomputed from the stored per-step (c, h) and chain streams, weight
