@@ -103,7 +103,7 @@ def _segment_matrices(ep: int, eb: int, v: int):
 def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 tau: float, keep_prob: float, compute_dtype_name: str,
                 n_block: int, interpret: bool,
-                wgrad_in_kernel: bool = False):
+                wgrad_mode: str = "xla"):
     """Builds the custom-VJP fused mix for one static configuration.
 
     Operates on PADDED arrays: x [Np, D] (Np % n_block == 0), w [D, Ep·V],
@@ -169,6 +169,29 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         _fwd_body(seed_ref, x_ref, w_ref, b_ref, gate_ref, r_ref, s_ref,
                   out_ref, th_ref)
 
+    def _dz_core(seed_ref, th_ref, gate_ref, gout_ref, r_ref, s_ref,
+                 nblk, eblk):
+        """Pure dz recompute for the GLOBAL tile (nblk, eblk) — grid-
+        order agnostic (callers pass their own program-id mapping so the
+        dropout hash mask lands on the same global offsets)."""
+        th = th_ref[:].astype(jnp.float32)
+        a = tau * th
+        if dropout:
+            a = a * _mask(seed_ref, nblk, eblk)
+        # q[n, c] = gout[n, class(c)]  (broadcast into segments)
+        q = jax.lax.dot_general(
+            gout_ref[:].astype(cdt), s_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        grep = jax.lax.dot_general(
+            gate_ref[:].astype(cdt), r_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz = grep * q * (tau * (1.0 - th * th))
+        if dropout:
+            dz = dz * _mask(seed_ref, nblk, eblk)
+        return dz, q, a
+
     def _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref, r_ref, s_ref,
                 dx_ref, dgate_ref):
         """Shared backward math → dz for this (nblk, eblk) tile; also
@@ -181,28 +204,14 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             dx_ref[:] = jnp.zeros_like(dx_ref)
             dgate_ref[:] = jnp.zeros_like(dgate_ref)
 
-        th = th_ref[:].astype(jnp.float32)
-        a = tau * th
-        if dropout:
-            a = a * _mask(seed_ref, nblk, eblk)
-        # q[n, c] = gout[n, class(c)]  (broadcast into segments)
-        q = jax.lax.dot_general(
-            gout_ref[:].astype(cdt), s_ref[:],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dz, q, a = _dz_core(seed_ref, th_ref, gate_ref, gout_ref,
+                            r_ref, s_ref, nblk, eblk)
         # dgate[n, e] += sum_{c in segment e} q * a'  (the R block zeroes
         # every expert outside this e-block, so += lands only there)
         dgate_ref[:] += jax.lax.dot_general(
             (q * a).astype(cdt), r_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        grep = jax.lax.dot_general(
-            gate_ref[:].astype(cdt), r_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dz = grep * q * (tau * (1.0 - th * th))
-        if dropout:
-            dz = dz * _mask(seed_ref, nblk, eblk)
         dx_ref[:] += jax.lax.dot_general(    # [Nb, Cb] @ [D, Cb]^T
             dz.astype(cdt), w_ref[:],
             (((1,), (1,)), ((), ())),
@@ -219,6 +228,35 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         dz = _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
                      r_ref, s_ref, dx_ref, dgate_ref)
         dz_ref[:] = dz.astype(dz_ref.dtype)
+
+    def _bwd_kernel_noemit(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
+                           r_ref, s_ref, dx_ref, dgate_ref):
+        # twokernel variant, pass 1: dx + dgate only; no dz stream at
+        # all (pass 2 recomputes dz with an e-major grid for the wgrad)
+        _bwd_dz(seed_ref, th_ref, w_ref, gate_ref, gout_ref,
+                r_ref, s_ref, dx_ref, dgate_ref)
+
+    def _wgrad_kernel(seed_ref, x_ref, th_ref, gate_ref, gout_ref,
+                      r_ref, s_ref, dw_ref, db_ref):
+        # twokernel variant, pass 2: grid (e, n) with n INNERMOST, so
+        # the (0, e)-indexed dw/db blocks see CONSECUTIVE revisits and
+        # accumulate in VMEM without the whole-grid read-modify-write
+        # carry that sank the single-kernel accumulator (see below)
+        eblk = pl.program_id(0)
+        nblk = pl.program_id(1)
+
+        @pl.when(nblk == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+        dz, _, _ = _dz_core(seed_ref, th_ref, gate_ref, gout_ref,
+                            r_ref, s_ref, nblk, eblk)
+        dzc = dz.astype(cdt)
+        dw_ref[:] += jax.lax.dot_general(
+            x_ref[:].astype(cdt), dzc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
     def _bwd_kernel_wgrad(seed_ref, x_ref, th_ref, w_ref, gate_ref,
                           gout_ref, r_ref, s_ref, dx_ref, dgate_ref,
@@ -365,6 +403,77 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             interpret=interpret,
         )(seed, x, th, w, gate, gout, r_mat, s_mat)
 
+    def _pallas_bwd_noemit(th, w, gate, seed, gout):
+        np_ = th.shape[0]
+        grid = (np_ // n_block, ep // eb)
+        return pl.pallas_call(
+            _bwd_kernel_noemit,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((np_, d), jnp.float32),
+                jax.ShapeDtypeStruct((np_, ep), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed, th, w, gate, gout, r_mat, s_mat)
+
+    def _pallas_wgrad(x, th, gate, seed, gout):
+        np_ = th.shape[0]
+        # e OUTER, n INNER: the (0, e)-indexed dw/db output blocks see
+        # consecutive revisits over n, so Mosaic accumulates them in
+        # VMEM and flushes once per e block — no whole-grid carry
+        grid = (ep // eb, np_ // n_block)
+        return pl.pallas_call(
+            _wgrad_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_block, d), lambda e, n: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, cb), lambda e, n: (n, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, ep), lambda e, n: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_block, v), lambda e, n: (n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ep, cb), lambda e, n: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((d, cb), lambda e, n: (0, e),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb), lambda e, n: (0, e),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((d, cp), jnp.float32),
+                jax.ShapeDtypeStruct((1, cp), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(seed, x, th, gate, gout, r_mat, s_mat)
+
     @jax.custom_vjp
     def fused(x, w, b, gate, seed):
         return _pallas_fwd(x, w, b, gate, seed, with_residuals=False)
@@ -375,9 +484,12 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
 
     def fused_bwd(res, gout):
         x, w, gate, seed, th = res
-        if wgrad_in_kernel:
+        if wgrad_mode == "kernel":
             dx, dgate, dw, db = _pallas_bwd_wgrad(x, th, w, gate, seed,
                                                   gout)
+        elif wgrad_mode == "twokernel":
+            dx, dgate = _pallas_bwd_noemit(th, w, gate, seed, gout)
+            dw, db = _pallas_wgrad(x, th, gate, seed, gout)
         else:
             dx, dgate, dz = _pallas_bwd(th, w, gate, seed, gout)
             # weight/bias grads: plain MXU matmul over the emitted dz —
@@ -409,13 +521,17 @@ def moe_mix_fused(x: jnp.ndarray,
     (already softmaxed and gate-dropped).  ``seed`` (int32 scalar/[1])
     drives the expert-logit dropout when keep_prob < 1.
 
-    ``LSTM_CTC_TPU_MOE_WGRAD=kernel`` opts into the in-kernel wgrad
-    accumulator variant (measured slower on current v5e Mosaic — see
-    _bwd_kernel; default is the emitted-dz + XLA-matmul backward).
+    ``LSTM_CTC_TPU_MOE_WGRAD`` selects the weight-gradient path:
+    unset/"xla" = emitted-dz + one XLA matmul (shipped default);
+    "twokernel" = a second Pallas pass with an e-major grid that
+    recomputes dz and accumulates dw/db in VMEM (legal consecutive
+    revisits — no dz stream at all); "kernel" = the single-kernel
+    whole-grid accumulator (measured far slower; kept for reference).
     """
     import os
-    wgrad_in_kernel = \
-        os.environ.get("LSTM_CTC_TPU_MOE_WGRAD", "") == "kernel"
+    wgrad_mode = os.environ.get("LSTM_CTC_TPU_MOE_WGRAD", "xla") or "xla"
+    if wgrad_mode not in ("xla", "kernel", "twokernel"):
+        wgrad_mode = "xla"
     n, d = x.shape
     v = w_expert.shape[1] // num_experts
     eb = expert_block_size(v)
@@ -438,7 +554,7 @@ def moe_mix_fused(x: jnp.ndarray,
 
     fused = _make_fused(d, v, ep, float(moe_temperature), float(keep_prob),
                         jnp.dtype(compute_dtype).name, n_block,
-                        bool(interpret), wgrad_in_kernel)
+                        bool(interpret), wgrad_mode)
     out = fused(x_p, w, b, gate_p, seed)
     return out[:n]
 

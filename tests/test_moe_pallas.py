@@ -188,3 +188,56 @@ def test_apply_moe_fused_dropout_trains(monkeypatch):
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_fused_grads_wgrad_twokernel_variant(monkeypatch):
+    """LSTM_CTC_TPU_MOE_WGRAD=twokernel (dx/dgate pass + e-major wgrad
+    pass, no dz stream) must produce the same gradients as the default
+    emitted-dz backward."""
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_WGRAD", "twokernel")
+    x, params, gate = make_case(1)
+    tau = 10.0
+    w, b = params["w_expert"], params["b_expert"]
+
+    def loss_ref(x, w, b, gate):
+        return jnp.sum(jnp.sin(xla_mix(x, w, b, gate, 5, tau)))
+
+    def loss_fused(x, w, b, gate):
+        out = moe_mix_fused(x, w, b, gate, 5, tau,
+                            compute_dtype=jnp.float32, n_block=8,
+                            interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    got_grads = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    for got, ref, name in zip(got_grads, ref_grads,
+                              ["x", "w_expert", "b_expert", "gate"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg="grad mismatch for %s" % name)
+
+
+def test_fused_grads_wgrad_twokernel_with_dropout(monkeypatch):
+    """The twokernel wgrad pass regenerates the SAME hash mask on its
+    e-major grid (global tile ids, not program ids) — dropout gradients
+    must match the default backward's."""
+    x, params, gate = make_case(3)
+    tau, kp = 10.0, 0.75
+    w, b = params["w_expert"], params["b_expert"]
+    seed = jnp.asarray([777], jnp.int32)
+
+    def loss(x, w, b, gate):
+        out = moe_mix_fused(x, w, b, gate, 5, tau, keep_prob=kp,
+                            seed=seed, compute_dtype=jnp.float32,
+                            n_block=8, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_WGRAD", "xla")
+    ref_grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_WGRAD", "twokernel")
+    got_grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, b, gate)
+    for got, ref, name in zip(got_grads, ref_grads,
+                              ["x", "w_expert", "b_expert", "gate"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg="grad mismatch for %s" % name)
