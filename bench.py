@@ -44,25 +44,32 @@ V5E_BF16_PEAK_FLOPS = 197e12
 def model_fwd_flops_per_frame(config):
     """Analytic forward FLOPs per acoustic frame (matmuls only; 2·M·N·K
     per matmul).  BLSTM: per direction per layer, input proj D·4H,
-    recurrent P·4H, projection H·P; MoE head: gate 2P·E + experts
-    2P·(E·V); dense head: 2P·V."""
+    recurrent P·4H, projection H·P; unidirectional families: one
+    direction, layer input = P; MoE head: gate 2P·E + experts
+    2P·(E·V); dense head: head_in·V."""
     d_in = config["input_dim"] * (1 + config["left_context"]
                                   + config["right_context"])
     h = config["num_neurons"]
-    p = config["num_projects"]
+    p = config.get("num_projects") or h
     v = config["num_targets"]
     e = config.get("num_experts", 0) or 0
     layers = config["num_layers"]
+    bidi = config.get("nnet_type", "blstm") == "blstm"
+    ndir = 2 if bidi else 1
+    head_in = (2 * p) if bidi else p
 
     def per_dir(d):
-        return 2 * d * 4 * h + 2 * p * 4 * h + 2 * h * p
+        f = 2 * d * 4 * h + 2 * p * 4 * h
+        if config.get("num_projects"):
+            f += 2 * h * p
+        return f
 
-    flops = 2 * per_dir(d_in)                       # layer 0, both dirs
-    flops += 2 * per_dir(2 * p) * (layers - 1)      # residual stack
+    flops = ndir * per_dir(d_in)                    # layer 0
+    flops += ndir * per_dir(head_in) * (layers - 1)  # stack
     if e > 0:
-        flops += 2 * (2 * p) * e + 2 * (2 * p) * (e * v)
+        flops += 2 * head_in * e + 2 * head_in * (e * v)
     else:
-        flops += 2 * (2 * p) * v
+        flops += 2 * head_in * v
     return flops
 
 
@@ -256,6 +263,19 @@ def main():
                  "note": "REAL frames/s (padding excluded) — shipped "
                          "recipe config (egs/wsj/run_wsj_phn.sh "
                          "pack_factor=3)"})
+
+    # unidirectional families — the wavefront whole-stack kernel path
+    # (ops/lstm_stack_pallas.py)
+    for fam, proj, peep in (("lstm", 320, True),
+                            ("cudnnlstm", None, False)):
+        fam_cfg = dict(config, nnet_type=fam, num_projects=proj,
+                       use_peepholes=peep, num_experts=0)
+        fam_flops = 3 * model_fwd_flops_per_frame(fam_cfg)
+        fps_fam = bench_unpacked(fam_cfg, 32, 384, jax)
+        rows.append({"config": "%s_b32_t384" % fam,
+                     "frames_per_sec": round(fps_fam, 1),
+                     "mfu": round(fps_fam * fam_flops
+                                  / V5E_BF16_PEAK_FLOPS, 4)})
 
     # --- forward (inference) ---
     params, net_state = init_model(jax.random.PRNGKey(0), config)

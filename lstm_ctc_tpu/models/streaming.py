@@ -77,9 +77,11 @@ class StreamingSession:
         else:
             for i, cell in enumerate(params["layers"]):
                 residual = res_flags[i]
+                from .blstm import _compute_dtype
                 layer_out, state = lstm_scan(
                     cell, out, seq_len, forget_bias=1.0,
-                    initial_state=states[i])
+                    initial_state=states[i],
+                    compute_dtype=_compute_dtype(config))
                 if residual:
                     layer_out = layer_out + out
                 if use_bn:
