@@ -206,9 +206,12 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
             real = int(np.sum(b.sequence_length))
         batches.append({k: jax.device_put(v) for k, v in arrays.items()})
         real_frames.append(real)
-    padded = batches[0]["nnet_input"].shape[0] \
-        * batches[0]["nnet_input"].shape[1]
-    fill = float(np.mean([f / padded for f in real_frames]))
+    # per-batch padded size: packed mode has one row shape, but the
+    # unpacked control draws from multiple [B, T] buckets
+    padded_frames = [b["nnet_input"].shape[0] * b["nnet_input"].shape[1]
+                     for b in batches]
+    fill = float(np.mean([f / p for f, p in zip(real_frames,
+                                                padded_frames)]))
 
     params0, net_state0 = init_model(jax.random.PRNGKey(0), config)
     init_opt, train_step = make_train_step(

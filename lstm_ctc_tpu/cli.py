@@ -56,18 +56,9 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
     label_lengths = None
     if need_labels and metas and metas[0].has_label:
         label_lengths = scan_label_lengths(metas)
-    # packed batches lay slots out rank-major (longest-first per row), so
-    # the loss may gather each rank tier at a statically smaller width
-    # (train/graph.py); the flag ties the graph to the batcher's layout.
-    # Opt-in (LSTM_CTC_TPU_CTC_TIERED=1 or config): the ~39% gather/DP
-    # FLOP cut measures as a WASH on v5e (-1.7% at B=32·pf3, +0.7% at
-    # B=64·pf3 — docs/BENCHMARKS.md round 3); the CTC view is not the
-    # packed step's bottleneck once the gather is already batched.
-    import os
-    config["ctc_tiered_slots"] = pack_factor > 1 and (
-        os.environ.get("LSTM_CTC_TPU_CTC_TIERED", "")
-        or str(config.get("ctc_tiered_slots", "") or "")) in (
-            "1", "true", "True")
+    # packed batches lay slots out rank-major (longest-first per row);
+    # the opt-in tiered CTC gather is resolved where the gather is built
+    # (train/graph.ctc_tiered_enabled), not here.
     return BucketedBatcher(
         metas,
         batch_size=batch_size,

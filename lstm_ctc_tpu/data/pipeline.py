@@ -92,7 +92,8 @@ class Batch:
     view (``utt_time_index`` [N, T_u] flat indices into the row-major
     [B·T] frames, ``utt_sequence_length`` [N]) lets the CTC loss see each
     packed utterance exactly as if it had its own row; ``nnet_target`` /
-    ``target_length`` are then per-utterance [N, U] / [N]."""
+    ``target_length`` are then per-utterance [N, U] / [N], and ``keys``
+    is slot-indexed alongside them ("" for dummy slots)."""
     nnet_input: np.ndarray       # [B, T, D] float32
     sequence_length: np.ndarray  # [B] int32 (0 for padding rows)
     nnet_target: np.ndarray      # [B or N, U] int32, padded with -1
@@ -247,7 +248,10 @@ class BucketedBatcher:
         # default: every slot gathers frame 0 of its batch — harmless for
         # dummy slots (zero-length ⇒ zero loss/grad)
         utt_idx = np.zeros((num_slots, t_row), dtype=np.int32)
-        keys: List[str] = []
+        # keys is slot-indexed (keys[slot] names the utterance whose
+        # targets/tgt_len/utt_* live at that slot; "" for dummy slots)
+        # so consumers can zip keys with the per-utterance arrays
+        keys: List[str] = [""] * num_slots
         native = hasattr(loader, "load_row")
         arange_t = np.arange(t_row, dtype=np.int32)
         for row, members in enumerate(rows):
@@ -264,7 +268,7 @@ class BucketedBatcher:
                         self.subsample, feats[row, offset:offset + want],
                         targets[slot])
                     tgt_len[slot] = label_len
-                    keys.append(meta.key)
+                    keys[slot] = meta.key
                 else:
                     key, mat, labels = loader.load(meta)
                     mat = splice_frames(mat, self.left_context,
@@ -275,7 +279,7 @@ class BucketedBatcher:
                     if labels is not None and len(labels):
                         targets[slot, :len(labels)] = labels
                         tgt_len[slot] = len(labels)
-                    keys.append(key)
+                    keys[slot] = key
                 assert t_len * (rank + 1) <= t_row, \
                     "rank-%d utterance %s too long for its tier" \
                     % (rank, meta.key)

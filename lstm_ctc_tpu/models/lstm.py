@@ -63,6 +63,28 @@ def _make_scan_fn(config, batch):
                              compute_dtype=compute_dtype,
                              store_dtype=store_dtype,
                              interpret=interpret)
+def _stack_gate(config, params_list, batch):
+    """Shared dispatch gate for the wavefront stack paths.  Returns
+    (mode, compute_dtype, store_dtype, interpret) or None when the
+    per-layer path must be used (CPU/scan mode, non-uniform stack,
+    layer-0 residual, LSTM_CTC_TPU_LSTM_STACK=0)."""
+    import os
+
+    from .blstm import _compute_dtype, _fused_lstm_mode, \
+        _fused_store_dtype
+    if os.environ.get("LSTM_CTC_TPU_LSTM_STACK", "1") == "0":
+        return None
+    mode = _fused_lstm_mode(config, batch)
+    if mode is None:
+        return None
+    from ..ops.lstm_stack_pallas import stack_eligible
+    if not stack_eligible(params_list):
+        return None
+    import jax as _jax
+    return (mode, _compute_dtype(config), _fused_store_dtype(config),
+            _jax.default_backend() == "cpu")
+
+
 def _stack_outputs(config, params_list, x, sequence_length,
                    residual_flags, keep_prob=1.0, dropout_rng=None):
     """Whole-stack wavefront kernel (ops/lstm_stack_pallas): runs all L
@@ -71,26 +93,14 @@ def _stack_outputs(config, params_list, x, sequence_length,
     of L independent ones.  Inter-layer dropout runs in-kernel via a
     hash mask (same keep-prob semantics as the XLA path, different
     stream).  Returns outputs [B, T, P] or None when the per-layer path
-    must be used (CPU/scan mode, non-uniform stack, layer-0 residual,
-    LSTM_CTC_TPU_LSTM_STACK=0)."""
-    import os
-
-    from .blstm import _compute_dtype, _fused_lstm_mode, \
-        _fused_store_dtype
-    if os.environ.get("LSTM_CTC_TPU_LSTM_STACK", "1") == "0":
+    must be used (see _stack_gate)."""
+    gate = _stack_gate(config, params_list, x.shape[0])
+    if gate is None:
         return None
-    mode = _fused_lstm_mode(config, x.shape[0])
-    if mode is None:
-        return None
-    from ..ops.lstm_stack_pallas import (lstm_stack_fused,
-                                         lstm_stack_sharded,
-                                         stack_eligible)
-    if not stack_eligible(params_list):
-        return None
+    mode, cdt, sdt, interpret = gate
+    from ..ops.lstm_stack_pallas import lstm_stack_fused, \
+        lstm_stack_sharded
     import jax as _jax
-    interpret = _jax.default_backend() == "cpu"
-    cdt = _compute_dtype(config)
-    sdt = _fused_store_dtype(config)
     use_dropout = keep_prob < 1.0 and dropout_rng is not None
     seed = _jax.random.randint(
         dropout_rng, (1,), -2 ** 31, 2 ** 31 - 1,
@@ -117,24 +127,15 @@ def _stack_chunk(config, params_list, x, sequence_length, residual_flags,
     """Streaming variant of _stack_outputs: chunk-carried (c, h) states
     in and out.  Returns (outputs, [(c, h)] states) or None to fall
     back to the per-layer scan loop."""
-    import os
-
-    from .blstm import _compute_dtype, _fused_lstm_mode, \
-        _fused_store_dtype
-    if os.environ.get("LSTM_CTC_TPU_LSTM_STACK", "1") == "0":
-        return None
-    if _fused_lstm_mode(config, x.shape[0]) != "direct":
+    gate = _stack_gate(config, params_list, x.shape[0])
+    if gate is None or gate[0] != "direct":
         return None    # streaming is single-device, batch 1
-    from ..ops.lstm_stack_pallas import lstm_stack_fused, stack_eligible
-    if not stack_eligible(params_list):
-        return None
-    import jax as _jax
+    _, cdt, sdt, interpret = gate
+    from ..ops.lstm_stack_pallas import lstm_stack_fused
     out, states = lstm_stack_fused(
         params_list, x, sequence_length, 1.0,
         residual_flags=tuple(residual_flags),
-        compute_dtype=_compute_dtype(config),
-        store_dtype=_fused_store_dtype(config),
-        interpret=_jax.default_backend() == "cpu",
+        compute_dtype=cdt, store_dtype=sdt, interpret=interpret,
         initial_states=list(initial_states))
     return out, states
 
@@ -241,11 +242,15 @@ def apply_lstm(params: Dict,
     stacked = None
     if not dims["use_bn"]:
         # BN needs whole-sequence batch statistics → per-layer path;
-        # dropout runs in-kernel (hash mask)
+        # dropout runs in-kernel (hash mask).  Split off a dedicated key
+        # so the in-kernel seed never aliases the MoE dropout key below.
+        stack_rng = None
+        if keep_prob < 1.0 and dropout_rng is not None:
+            dropout_rng, stack_rng = jax.random.split(dropout_rng)
         stacked = _stack_outputs(config, params["layers"], x,
                                  sequence_length, res_flags,
                                  keep_prob=keep_prob,
-                                 dropout_rng=dropout_rng)
+                                 dropout_rng=stack_rng)
     if stacked is not None:
         x = stacked
     else:

@@ -60,6 +60,19 @@ def _l2_loss(params) -> jnp.ndarray:
     return total
 
 
+def ctc_tiered_enabled(config: Dict) -> bool:
+    """Opt-in gate for the rank-tier CTC gather (LSTM_CTC_TPU_CTC_TIERED=1
+    or ``ctc_tiered_slots`` in config).  The packed slot layout is always
+    rank-major (data/pipeline), so the flag is resolved here, where the
+    gather is built, from config/env alone — no batcher-side mutation.
+    The tier gather measured as a wash on v5e (docs/BENCHMARKS.md round
+    3), so the simpler full-width view is the shipped default."""
+    import os
+    raw = os.environ.get("LSTM_CTC_TPU_CTC_TIERED", "") \
+        or str(config.get("ctc_tiered_slots", "") or "")
+    return raw in ("1", "true", "True")
+
+
 def compute_losses(params, net_state, batch: Dict, config: Dict,
                    train: bool, dropout_rng=None):
     """Shared forward pass → (metrics dict, logits, new_net_state).
@@ -78,7 +91,7 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         flat = logits.reshape(num_rows * row_t, vocab)
         n_slots = batch["utt_time_index"].shape[0]
         pf = n_slots // num_rows
-        if config.get("ctc_tiered_slots") and pf >= 2 \
+        if ctc_tiered_enabled(config) and pf >= 2 \
                 and n_slots == pf * num_rows:
             # Rank-major slot layout (data/pipeline._assemble_packed):
             # slot k·B+r holds row r's (k+1)-th longest utterance, which

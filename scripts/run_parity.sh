@@ -42,20 +42,25 @@ for cfg in "${cfg_list[@]}"; do
   for seed in $seeds; do
     work="$work_root/${name}_seed${seed}"
     log="$work_root/${name}_seed${seed}.log"
-    # Resume: a run whose decode already produced wer files is complete —
-    # record it and skip (lets an interrupted protocol pick up where it
-    # stopped; remove the work dir to force a re-run).
-    done_wer=$(best_wer "$work")
-    if [ -n "$done_wer" ]; then
-      wers["$name/$seed"]=$done_wer
-      echo "run_parity: $name seed $seed already done (WER $done_wer), skipping"
-      continue
+    # Resume: only a run whose recipe exited 0 (sentinel written below)
+    # counts as complete — wer files alone are not enough, since the
+    # acoustic-scale sweep writes them one by one and an interruption
+    # mid-scoring would otherwise be recorded as a partial-sweep WER.
+    # Remove the work dir (or the sentinel) to force a re-run.
+    if [ -f "$work/.parity_done" ]; then
+      done_wer=$(best_wer "$work")
+      if [ -n "$done_wer" ]; then
+        wers["$name/$seed"]=$done_wer
+        echo "run_parity: $name seed $seed already done (WER $done_wer), skipping"
+        continue
+      fi
     fi
     rm -rf "$work"   # partial run from an interrupted attempt
     echo "run_parity: $name seed $seed → $work"
     # shellcheck disable=SC2086
     bash "$recipe" --work "$work" --seed "$seed" $args $extra \
       > "$log" 2>&1 || { echo "run_parity: FAILED (see $log)"; exit 1; }
+    touch "$work/.parity_done"
     wer=$(best_wer "$work")
     [ -z "$wer" ] && { echo "run_parity: no wer files in $work"; exit 1; }
     wers["$name/$seed"]=$wer

@@ -280,42 +280,30 @@ def test_batcher_packs_all_utterances():
                 assert batch.utt_sequence_length[slot] == t
                 assert list(batch.nnet_target[
                     slot, :batch.target_length[slot]]) == list(labs[key])
+                # keys is slot-indexed alongside the per-utterance arrays
+                assert batch.keys[slot] == key
                 seen.append(key)
         # reset marks = number of packed segments in the batch
         assert int(batch.reset_mask.sum()) == sum(len(r) for r in rows)
     assert sorted(seen) == sorted(m.key for m in metas)
 
 
-def test_tiered_gather_is_opt_in(monkeypatch, tmp_path):
-    """cli.build_batcher must leave ctc_tiered_slots OFF for packed rows
-    unless asked (env or config) — the tier gather measured as a wash on
-    v5e (docs/BENCHMARKS.md round 3), so the simpler full-width view is
-    the shipped default."""
-    from lstm_ctc_tpu import cli
+def test_tiered_gather_is_opt_in(monkeypatch):
+    """The tiered CTC gather must stay OFF unless asked (env or config) —
+    it measured as a wash on v5e (docs/BENCHMARKS.md round 3), so the
+    simpler full-width view is the shipped default.  The gate is resolved
+    where the gather is built (train/graph.ctc_tiered_enabled), with no
+    batcher-side config mutation."""
+    from lstm_ctc_tpu.train.graph import ctc_tiered_enabled
 
-    from lstm_ctc_tpu.data.records import RecordMeta
-
-    metas = [RecordMeta("u%d" % i, 40 + i, 8, False, "mem", i)
-             for i in range(8)]
     monkeypatch.delenv("LSTM_CTC_TPU_CTC_TIERED", raising=False)
-    monkeypatch.setattr(cli, "scan_scp", lambda p: metas)
-    cfg = {}
-    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
-                      pack_factor=3)
-    assert cfg["ctc_tiered_slots"] is False
+    assert ctc_tiered_enabled({}) is False
+    assert ctc_tiered_enabled({"ctc_tiered_slots": True}) is True
+    assert ctc_tiered_enabled({"ctc_tiered_slots": False}) is False
     monkeypatch.setenv("LSTM_CTC_TPU_CTC_TIERED", "1")
-    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
-                      pack_factor=3)
-    assert cfg["ctc_tiered_slots"] is True
-    monkeypatch.delenv("LSTM_CTC_TPU_CTC_TIERED")
-    cfg = {"ctc_tiered_slots": True}
-    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
-                      pack_factor=3)
-    assert cfg["ctc_tiered_slots"] is True
-    cfg = {"ctc_tiered_slots": True}
-    cli.build_batcher("none.scp", cfg, 4, need_labels=False,
-                      pack_factor=1)   # unpacked: layout contract absent
-    assert cfg["ctc_tiered_slots"] is False
+    assert ctc_tiered_enabled({}) is True
+    monkeypatch.setenv("LSTM_CTC_TPU_CTC_TIERED", "0")
+    assert ctc_tiered_enabled({"ctc_tiered_slots": True}) is False
 
 
 def test_tiered_ctc_gather_matches_full_width():

@@ -88,3 +88,35 @@ def test_run_parity_resumes_completed_seeds(tmp_path):
     assert second.returncode == 0, second.stdout + second.stderr
     assert second.stdout.count("already done") == 2
     assert out.read_text() == table1
+
+
+def test_run_parity_reruns_partial_sweeps(tmp_path):
+    """wer files WITHOUT the completion sentinel mean the run was
+    interrupted mid-scoring (the acoustic-scale sweep writes wer_* one
+    by one) — resume must re-run it, not record the partial-sweep WER."""
+    recipe = tmp_path / "stub_recipe.sh"
+    recipe.write_text(STUB_RECIPE)
+    recipe.chmod(recipe.stat().st_mode | stat.S_IEXEC)
+    out = tmp_path / "RESULT.md"
+
+    # fake an interrupted run: only the worst point of the sweep exists,
+    # and no .parity_done sentinel
+    work = tmp_path / "work" / "baseline_seed1"
+    (work / "exp" / "decode_test").mkdir(parents=True)
+    (work / "exp" / "decode_test" / "wer_10").write_text(
+        "summary wer: 99.0000 num: 45 cor: 1 sub: 40 ins: 1 del: 4\n")
+
+    result = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "run_parity.sh"),
+         "--recipe", str(recipe),
+         "--seeds", "1",
+         "--configs", "baseline=--bonus 0",
+         "--work-root", str(tmp_path / "work"),
+         "--out", str(out)],
+        capture_output=True, text=True)
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "already done" not in result.stdout
+    # the partial 99.0 WER was discarded; the full sweep's best is 11.5
+    assert "| baseline | 1 | 11.5000 (0.0000) | 11.5000 |" \
+        in out.read_text()
+    assert (work / ".parity_done").exists()
