@@ -1,0 +1,191 @@
+"""Cluster dispatchers scripts/slurm.pl and scripts/queue.pl.
+
+The reference drives every parallel stage through a pluggable job runner
+(`$cmd`, reference cmd.sh:12-15) with the calling convention
+``<runner> [opts] [JOB=1:N] <logfile> <command...>``.  These tests run
+the real dispatcher scripts against *fake* ``sbatch``/``qsub`` binaries
+placed on PATH that execute the submitted batch script locally per array
+task — exercising option mapping, JOB substitution via the scheduler's
+task-id environment variable, per-task logging, failure propagation, and
+the local run.pl fallback when no scheduler exists.
+"""
+
+import os
+import stat
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Executes every task in --array=A-B[%C] by running the script with
+# SLURM_ARRAY_TASK_ID set; exits nonzero if any task fails (--wait
+# semantics).  Records its argv for option-mapping assertions.
+FAKE_SBATCH = """#!/bin/bash
+echo "$@" >> "$FAKE_SCHED_LOG"
+array=""
+script=""
+for a in "$@"; do
+  case "$a" in
+    --array=*) array=${a#--array=};;
+    --*) ;;
+    *) script=$a;;
+  esac
+done
+if [ -z "$array" ]; then
+  bash "$script"; exit $?
+fi
+array=${array%%\\%*}
+lo=${array%-*}; hi=${array#*-}
+rc=0
+for i in $(seq "$lo" "$hi"); do
+  SLURM_ARRAY_TASK_ID=$i bash "$script" || rc=1
+done
+exit $rc
+"""
+
+# SGE flavor: -t A-B, task id env SGE_TASK_ID, -sync y blocks.
+FAKE_QSUB = """#!/bin/bash
+echo "$@" >> "$FAKE_SCHED_LOG"
+trange=""
+script=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    -t) trange=$2; shift 2;;
+    -pe) shift 3;;
+    -sync|-b|-o|-e|-N|-q|-l|-tc) shift 2;;
+    -V|-cwd) shift;;
+    *) script=$1; shift;;
+  esac
+done
+if [ -z "$trange" ]; then
+  bash "$script"; exit $?
+fi
+lo=${trange%-*}; hi=${trange#*-}
+rc=0
+for i in $(seq "$lo" "$hi"); do
+  SGE_TASK_ID=$i bash "$script" || rc=1
+done
+exit $rc
+"""
+
+
+def _install_fake(tmp_path, name, body):
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    exe = bindir / name
+    exe.write_text(body)
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    return str(bindir)
+
+
+def _run(dispatcher, args, path_prepend, tmp_path, cwd=None):
+    env = dict(os.environ)
+    env["PATH"] = path_prepend + ":" + env["PATH"]
+    env["FAKE_SCHED_LOG"] = str(tmp_path / "sched_argv.log")
+    return subprocess.run(
+        ["perl", os.path.join(REPO, "scripts", dispatcher)] + args,
+        capture_output=True, text=True, env=env, cwd=cwd or str(tmp_path))
+
+
+def test_slurm_array_job_runs_and_logs(tmp_path):
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "logs" / "echo.JOB.log"
+    r = _run("slurm.pl",
+             ["--mem", "2G", "--num-threads", "3", "-p", "speech",
+              "JOB=1:3", str(log), "echo", "task", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 2, 3):
+        text = (tmp_path / "logs" / ("echo.%d.log" % i)).read_text()
+        assert ("task %d" % i) in text
+        assert "status 0" in text
+    argv = (tmp_path / "sched_argv.log").read_text()
+    assert "--array=1-3" in argv
+    assert "--mem=2G" in argv
+    assert "--cpus-per-task=3" in argv
+    assert "--partition=speech" in argv
+    assert "--wait" in argv
+    # the batch script is materialized next to the logs
+    assert (tmp_path / "logs" / "q" / "echo.JOB.sh").exists()
+
+
+def test_slurm_failure_propagates(tmp_path):
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "fail.JOB.log"
+    r = _run("slurm.pl",
+             ["JOB=1:2", str(log), "test", "JOB", "-eq", "1"],
+             bindir, tmp_path)
+    assert r.returncode != 0
+    assert "status 0" in (tmp_path / "fail.1.log").read_text()
+    assert "status 1" in (tmp_path / "fail.2.log").read_text()
+
+
+def test_slurm_falls_back_to_run_pl_without_sbatch(tmp_path):
+    # PATH gets an empty bin dir — no sbatch anywhere relevant is fine,
+    # but strip the whole PATH down to guarantee absence
+    log = tmp_path / "local.JOB.log"
+    env = dict(os.environ)
+    env["PATH"] = "/usr/bin:/bin"
+    r = subprocess.run(
+        ["perl", os.path.join(REPO, "scripts", "slurm.pl"),
+         "--mem", "2G", "JOB=1:2", str(log), "echo", "local", "JOB"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "running locally via run.pl" in r.stderr
+    for i in (1, 2):
+        assert ("local %d" % i) in \
+            (tmp_path / ("local.%d.log" % i)).read_text()
+
+
+def test_qsub_array_job_runs_and_logs(tmp_path):
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "logs" / "sge.JOB.log"
+    r = _run("queue.pl",
+             ["-q", "all.q", "--mem", "1G", "--num-threads", "2",
+              "JOB=2:4", str(log), "echo", "sge", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (2, 3, 4):
+        text = (tmp_path / "logs" / ("sge.%d.log" % i)).read_text()
+        assert ("sge %d" % i) in text
+        assert "status 0" in text
+    argv = (tmp_path / "sched_argv.log").read_text()
+    assert "-t 2-4" in argv
+    assert "-q all.q" in argv
+    assert "mem_free=1G,ram_free=1G" in argv
+    assert "-pe smp 2" in argv
+    assert "-sync y" in argv
+
+
+def test_qsub_failure_propagates(tmp_path):
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "qfail.JOB.log"
+    r = _run("queue.pl", ["JOB=1:2", str(log), "test", "JOB", "-eq", "2"],
+             bindir, tmp_path)
+    assert r.returncode != 0
+    assert "status 1" in (tmp_path / "qfail.1.log").read_text()
+    assert "status 0" in (tmp_path / "qfail.2.log").read_text()
+
+
+def test_queue_falls_back_to_run_pl_without_qsub(tmp_path):
+    log = tmp_path / "qlocal.JOB.log"
+    env = dict(os.environ)
+    env["PATH"] = "/usr/bin:/bin"
+    r = subprocess.run(
+        ["perl", os.path.join(REPO, "scripts", "queue.pl"),
+         "JOB=1:2", str(log), "echo", "qlocal", "JOB"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "running locally via run.pl" in r.stderr
+    for i in (1, 2):
+        assert ("qlocal %d" % i) in \
+            (tmp_path / ("qlocal.%d.log" % i)).read_text()
+
+
+def test_slurm_single_job_no_array(tmp_path):
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "single.log"
+    r = _run("slurm.pl", [str(log), "echo", "one-shot"], bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    text = log.read_text()
+    assert "one-shot" in text and "status 0" in text
+    assert "--array" not in (tmp_path / "sched_argv.log").read_text()
