@@ -34,6 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 TIME_BLOCK = 32
 
 
+def _kernel_unroll():
+    """Unroll factor for the sequential in-kernel time loops
+    (LSTM_CTC_TPU_KERNEL_UNROLL, default 1).  Semantics-preserving —
+    trades Mosaic loop/index overhead for code size, the same lever
+    that won ~10% on the XLA scan (docs/BENCHMARKS.md unroll rows)."""
+    import os
+    return max(1, int(os.environ.get("LSTM_CTC_TPU_KERNEL_UNROLL",
+                                     "1") or "1"))
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -102,7 +112,8 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
             return c_next, h_next
 
         c, h = jax.lax.fori_loop(
-            0, gx_ref.shape[0], step, (c_ref[:], h_ref[:]))
+            0, gx_ref.shape[0], step, (c_ref[:], h_ref[:]),
+            unroll=_kernel_unroll())
         c_ref[:] = c
         h_ref[:] = h
 
@@ -306,7 +317,8 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
             return step(gx_ref.shape[0] - 1 - k, carry)
 
         dc, dh = jax.lax.fori_loop(
-            0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]))
+            0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]),
+            unroll=_kernel_unroll())
         dc_ref[:] = dc
         dh_ref[:] = dh
 

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lstm_pallas import _kernel_unroll
+
 
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
@@ -157,7 +159,8 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
             return c_next, h_next, in_next
 
         c, h, inb = jax.lax.fori_loop(
-            0, gx0_ref.shape[0], step, (c_ref[:], h_ref[:], in_ref[:]))
+            0, gx0_ref.shape[0], step, (c_ref[:], h_ref[:], in_ref[:]),
+            unroll=_kernel_unroll())
         c_ref[:] = c
         h_ref[:] = h
         in_ref[:] = inb
@@ -319,7 +322,8 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
         dc, dh, dinbuf = jax.lax.fori_loop(
             0, gx0_ref.shape[0], rev_step,
-            (dc_ref[:], dh_ref[:], din_ref[:]))
+            (dc_ref[:], dh_ref[:], din_ref[:]),
+            unroll=_kernel_unroll())
         dc_ref[:] = dc
         dh_ref[:] = dh
         din_ref[:] = dinbuf
