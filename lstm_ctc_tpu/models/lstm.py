@@ -85,15 +85,29 @@ def _stack_gate(config, params_list, batch):
             _jax.default_backend() == "cpu")
 
 
+def _bn_affine(bn_params_list, bn_state_list):
+    """Eval-mode batch norm as per-layer channel affines: _apply_bn with
+    running stats is x·a + b, a = scale·rsqrt(var+eps),
+    b = offset − mean·a."""
+    out = []
+    for p, s in zip(bn_params_list, bn_state_list):
+        inv = jax.lax.rsqrt(s["var"] + BN_EPS)
+        a = inv * p["scale"]
+        out.append((a, p["offset"] - s["mean"] * a))
+    return out
+
+
 def _stack_outputs(config, params_list, x, sequence_length,
-                   residual_flags, keep_prob=1.0, dropout_rng=None):
+                   residual_flags, keep_prob=1.0, dropout_rng=None,
+                   affine=None):
     """Whole-stack wavefront kernel (ops/lstm_stack_pallas): runs all L
     unidirectional layers in one diagonal time loop, cutting the
     sequential chain from T·L dependent recurrent matmuls to ~T steps
     of L independent ones.  Inter-layer dropout runs in-kernel via a
     hash mask (same keep-prob semantics as the XLA path, different
-    stream).  Returns outputs [B, T, P] or None when the per-layer path
-    must be used (see _stack_gate)."""
+    stream); eval-mode BN rides in as per-layer chain affines
+    (forward-only).  Returns outputs [B, T, P] or None when the
+    per-layer path must be used (see _stack_gate)."""
     gate = _stack_gate(config, params_list, x.shape[0])
     if gate is None:
         return None
@@ -107,8 +121,8 @@ def _stack_outputs(config, params_list, x, sequence_length,
         dtype=jnp.int32) if use_dropout else None
     kp = keep_prob if use_dropout else 1.0
     if mode == "sharded":
-        if use_dropout:
-            return None   # per-shard hash seeds not plumbed yet
+        if use_dropout or affine is not None:
+            return None   # per-shard hash seeds/affines not plumbed yet
         out, _ = lstm_stack_sharded(
             config["mesh"], params_list, x, sequence_length, 1.0,
             residual_flags=tuple(residual_flags), compute_dtype=cdt,
@@ -118,7 +132,7 @@ def _stack_outputs(config, params_list, x, sequence_length,
             params_list, x, sequence_length, 1.0,
             residual_flags=tuple(residual_flags), compute_dtype=cdt,
             store_dtype=sdt, interpret=interpret,
-            keep_prob=kp, seed=seed)
+            keep_prob=kp, seed=seed, affine=affine)
     return out
 
 
@@ -241,7 +255,6 @@ def apply_lstm(params: Dict,
                  for i in range(dims["num_layers"])]
     stacked = None
     if not dims["use_bn"]:
-        # BN needs whole-sequence batch statistics → per-layer path;
         # dropout runs in-kernel (hash mask).  Split off a dedicated key
         # so the in-kernel seed never aliases the MoE dropout key below.
         stack_rng = None
@@ -251,6 +264,13 @@ def apply_lstm(params: Dict,
                                  sequence_length, res_flags,
                                  keep_prob=keep_prob,
                                  dropout_rng=stack_rng)
+    elif not train:
+        # train-mode BN needs whole-sequence batch statistics → the
+        # per-layer path; eval-mode BN (running stats) is a per-channel
+        # affine and folds into the wavefront kernel's chain values
+        stacked = _stack_outputs(
+            config, params["layers"], x, sequence_length, res_flags,
+            affine=_bn_affine(params["bn"], state["bn"]))
     if stacked is not None:
         x = stacked
     else:

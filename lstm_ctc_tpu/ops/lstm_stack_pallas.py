@@ -67,19 +67,27 @@ def _auto_time_block(num_layers, batch):
 
 def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                      use_peep, use_proj, cdt, residual, keep_prob,
-                     time_block):
+                     time_block, use_affine=False):
     """residual: static tuple of L floats (1.0 → chain_l += in_l).
     keep_prob < 1: inter-layer dropout on the chain values via the same
     counter-based hash as the MoE kernel (same keep-prob semantics as
-    the XLA path, different stream)."""
+    the XLA path, different stream).
+    use_affine: two extra [LB, P] inputs (a, b) apply a per-layer
+    per-channel affine to the chain values — eval-mode batch-norm
+    folded to chain·a + b (models/lstm._apply_bn with running stats)."""
     lb = num_layers * batch
     p2 = 2 * out_dim
     dropout = keep_prob < 1.0
 
-    def kernel(seed_ref, gx0_ref, mask_ref, wz_ref, bias_ref, proj_ref,
-               wi_ref, wf_ref, wo_ref, cinit_ref, hinit_ref,
-               out_ref, chain_ref, call_ref, hall_ref, cfin_ref, hfin_ref,
-               c_ref, h_ref, in_ref):
+    def kernel(*refs):
+        (seed_ref, gx0_ref, mask_ref, wz_ref, bias_ref, proj_ref,
+         wi_ref, wf_ref, wo_ref, cinit_ref, hinit_ref) = refs[:11]
+        pos = 11
+        if use_affine:
+            a_ref, b_ref = refs[pos:pos + 2]
+            pos += 2
+        (out_ref, chain_ref, call_ref, hall_ref, cfin_ref, hfin_ref,
+         c_ref, h_ref, in_ref) = refs[pos:]
         blk = pl.program_id(0)
         nblk = pl.num_programs(0)
 
@@ -144,6 +152,10 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                                  out_dim)
                 chain = chain * (u < keep_prob).astype(jnp.float32) \
                     * (1.0 / keep_prob)
+            if use_affine:
+                # eval-mode BN: residual → (dropout) → affine, the same
+                # stage order as models/lstm.apply_lstm's per-layer loop
+                chain = chain * a_ref[:] + b_ref[:]
             out_ref[tt] = chain[lb - batch:].astype(out_ref.dtype)
             chain_ref[tt] = chain.astype(chain_ref.dtype)
             call_ref[tt] = c_next.astype(call_ref.dtype)
@@ -391,7 +403,8 @@ def _pad_time(x, padded_t):
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 forget_bias, use_peep, use_proj, residual, cdt_name,
-                store_name, time_block, interpret, keep_prob=1.0):
+                store_name, time_block, interpret, keep_prob=1.0,
+                use_affine=False):
     cdt = jnp.dtype(cdt_name)
     store_dt = jnp.dtype(store_name)
     lb = num_layers * batch
@@ -403,7 +416,8 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
 
     fwd_kernel = _make_fwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
-                                  residual, keep_prob, time_block)
+                                  residual, keep_prob, time_block,
+                                  use_affine=use_affine)
     bwd_kernel = _make_bwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
                                   residual, keep_prob, time_block)
@@ -420,13 +434,16 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=110 * 1024 * 1024)
 
+    n_extra = 2 if use_affine else 0
+
     def pallas_fwd(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit,
-                   hinit):
+                   hinit, *affine):
         return pl.pallas_call(
             fwd_kernel,
             grid=(nblk,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      tb_rows(batch, h4), tb_rows(lb, 1)] + [full()] * 8,
+                      tb_rows(batch, h4), tb_rows(lb, 1)]
+                     + [full()] * (8 + n_extra),
             out_specs=[tb_rows(batch, out_dim), tb_rows(lb, out_dim),
                        tb_rows(lb, num_units), tb_rows(lb, out_dim),
                        full(), full()],
@@ -444,7 +461,8 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                             pltpu.VMEM((lb, out_dim), jnp.float32)],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit)
+        )(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit,
+          *affine)
 
     def pallas_bwd(seed, gx0, mask, c_prev, h_prev, in_prev, wz, bias,
                    proj, wi, wf, wo, dout, dcfin, dhfin):
@@ -492,6 +510,16 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
             interpret=interpret,
         )(seed, gx0, mask, c_prev, h_prev, in_prev, wz, bias, proj,
           wi, wf, wo, dout, dcfin, dhfin)
+
+    if use_affine:
+        # forward-only (eval/decode): no VJP — differentiating raises
+        def fused_affine(seed, gx0, mask, wz, bias, proj, wi, wf, wo,
+                         cinit, hinit, arows, brows):
+            out, _, _, _, cfin, hfin = pallas_fwd(
+                seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit,
+                hinit, arows, brows)
+            return out, cfin, hfin
+        return fused_affine
 
     @jax.custom_vjp
     def fused(seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit, hinit):
@@ -571,7 +599,7 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
                      residual_flags=None, compute_dtype=None,
                      store_dtype="bfloat16", time_block=None,
                      interpret=False, initial_states=None,
-                     keep_prob=1.0, seed=None):
+                     keep_prob=1.0, seed=None, affine=None):
     """Run the whole unidirectional stack in one wavefront kernel.
 
     params_list: one cells.init_lstm_cell dict per layer (uniform
@@ -589,6 +617,11 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
     an in-kernel counter-based hash mask driven by ``seed`` (int32
     scalar/[1]) — same keep-prob semantics as the XLA path, different
     stream.
+
+    affine: optional per-layer [(a_l, b_l)] channel vectors applying
+    chain·a + b after the residual/dropout stages — eval-mode
+    batch-norm folded into the kernel (forward-only: the affine path
+    has no VJP).
 
     Returns (outputs [B, T, P], [(c_l, h_l) final states per layer]).
     """
@@ -672,14 +705,26 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
         seed = jnp.zeros((1,), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
 
+    assert affine is None or keep_prob >= 1.0, \
+        "the affine (eval-mode BN) path is forward-only; no dropout"
     fused = _make_fused(
         time_steps, num_layers, batch, num_units, out_dim,
         float(forget_bias), use_peep, use_proj, residual,
         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name, time_block,
-        bool(interpret), keep_prob=float(keep_prob))
-    out, cfin, hfin = fused(seed, gx0, mask, wz, bias, proj,
-                            peep("w_i_diag"), peep("w_f_diag"),
-                            peep("w_o_diag"), cinit, hinit)
+        bool(interpret), keep_prob=float(keep_prob),
+        use_affine=affine is not None)
+    args = [seed, gx0, mask, wz, bias, proj,
+            peep("w_i_diag"), peep("w_f_diag"), peep("w_o_diag"),
+            cinit, hinit]
+    if affine is not None:
+        arows = jnp.concatenate(
+            [jnp.tile(a.reshape(1, -1).astype(jnp.float32), (batch, 1))
+             for a, _ in affine], axis=0)                 # [LB, P]
+        brows = jnp.concatenate(
+            [jnp.tile(b.reshape(1, -1).astype(jnp.float32), (batch, 1))
+             for _, b in affine], axis=0)
+        args += [arows, brows]
+    out, cfin, hfin = fused(*args)
     outputs = jnp.moveaxis(
         out[num_layers - 1:num_layers - 1 + time_steps], 0, 1)
     states = [(cfin[l * batch:(l + 1) * batch],

@@ -319,3 +319,58 @@ def test_stack_dropout_matches_hash_reference():
                 np.asarray(gp[name]), np.asarray(rp[name]),
                 rtol=5e-5, atol=5e-5,
                 err_msg="layer %d grad %s" % (l, name))
+
+
+def test_stack_eval_bn_affine_matches_per_layer(monkeypatch):
+    """Eval-mode batch norm folds into the wavefront kernel as per-layer
+    chain affines (models/lstm._bn_affine): apply_model(train=False) on
+    an lstm+bn config must match the per-layer scan+BN path exactly, and
+    must actually dispatch the stack kernel."""
+    from lstm_ctc_tpu.models import apply_model, init_model
+
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "pallas")
+    monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
+    config = {
+        "nnet_type": "lstm", "input_dim": 12, "left_context": 0,
+        "right_context": 0, "subsample": 0, "num_layers": 3,
+        "num_neurons": 16, "num_projects": 8, "num_targets": 10,
+        "use_peepholes": True, "use_bn": True, "dropout_rate": 0.9,
+        "num_experts": 0, "moe_temp": 10.0,
+    }
+    params, state = init_model(jax.random.PRNGKey(3), config)
+    # non-trivial running moments so the affine is not the identity
+    rs = np.random.RandomState(7)
+    for bn in list(state["bn"]) + [state["bn_in"]]:
+        dim = bn["mean"].shape[0]
+        bn["mean"] = jnp.asarray(rs.randn(dim) * 0.3, jnp.float32)
+        bn["var"] = jnp.asarray(0.5 + rs.rand(dim), jnp.float32)
+    for bn in list(params["bn"]) + [params["bn_in"]]:
+        dim = bn["scale"].shape[0]
+        bn["scale"] = jnp.asarray(0.5 + rs.rand(dim), jnp.float32)
+        bn["offset"] = jnp.asarray(rs.randn(dim) * 0.2, jnp.float32)
+    x = jnp.asarray(rs.randn(4, 12, 12), jnp.float32)
+    seq = jnp.asarray([12, 9, 4, 1], jnp.int32)
+
+    import lstm_ctc_tpu.ops.lstm_stack_pallas as sp
+    orig = sp.lstm_stack_fused
+    calls = {}
+
+    def spy(*a, **kw):
+        calls["affine"] = kw.get("affine")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sp, "lstm_stack_fused", spy)
+    got, _, _, got_state = apply_model(params, state, x, seq, config,
+                                       train=False)
+    assert calls.get("affine") is not None, \
+        "stack kernel was not dispatched with the BN affine"
+
+    monkeypatch.setenv("LSTM_CTC_TPU_LSTM_STACK", "0")
+    want, _, _, want_state = apply_model(params, state, x, seq, config,
+                                         train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # eval must not move the running moments on either path
+    for a, b in zip(got_state["bn"], want_state["bn"]):
+        np.testing.assert_array_equal(np.asarray(a["mean"]),
+                                      np.asarray(b["mean"]))
