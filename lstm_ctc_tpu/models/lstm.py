@@ -137,10 +137,11 @@ def _stack_outputs(config, params_list, x, sequence_length,
 
 
 def _stack_chunk(config, params_list, x, sequence_length, residual_flags,
-                 initial_states):
+                 initial_states, affine=None):
     """Streaming variant of _stack_outputs: chunk-carried (c, h) states
-    in and out.  Returns (outputs, [(c, h)] states) or None to fall
-    back to the per-layer scan loop."""
+    in and out (optionally with the eval-mode BN affine).  Returns
+    (outputs, [(c, h)] states) or None to fall back to the per-layer
+    scan loop."""
     gate = _stack_gate(config, params_list, x.shape[0])
     if gate is None or gate[0] != "direct":
         return None    # streaming is single-device, batch 1
@@ -150,7 +151,7 @@ def _stack_chunk(config, params_list, x, sequence_length, residual_flags,
         params_list, x, sequence_length, 1.0,
         residual_flags=tuple(residual_flags),
         compute_dtype=cdt, store_dtype=sdt, interpret=interpret,
-        initial_states=list(initial_states))
+        initial_states=list(initial_states), affine=affine)
     return out, states
 
 

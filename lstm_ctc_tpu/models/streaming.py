@@ -66,12 +66,14 @@ class StreamingSession:
         res_flags = [config["nnet_type"] == "lstm" and not (
             i == 0 and dims["input_dim"] != dims["output_dim"])
             for i in range(dims["num_layers"])]
-        stacked = None
-        if not use_bn:
-            # whole-stack wavefront kernel with chunk-carried states
-            from .lstm import _stack_chunk
-            stacked = _stack_chunk(config, params["layers"], out,
-                                   seq_len, res_flags, states)
+        # whole-stack wavefront kernel with chunk-carried states;
+        # eval-mode BN folds in as per-layer chain affines
+        from .lstm import _bn_affine, _stack_chunk
+        affine = _bn_affine(params["bn"], net_state["bn"]) \
+            if use_bn else None
+        stacked = _stack_chunk(config, params["layers"], out,
+                               seq_len, res_flags, states,
+                               affine=affine)
         if stacked is not None:
             out, new_states = stacked
         else:

@@ -41,10 +41,18 @@ def offline_logits(params, state, config, raw):
     ({"left_context": 1, "right_context": 1, "subsample": 2}, 8, 5),
     ({"nnet_type": "cudnnlstm"}, 16, 9),
     ({"num_experts": 3}, 16, 11),
+    ({"use_bn": True}, 16, 13),
 ])
 def test_streaming_matches_offline(config_update, chunk, feed):
     config = dict(BASE_CONFIG, **config_update)
     params, state = init_model(jax.random.PRNGKey(0), config)
+    if config_update.get("use_bn"):
+        # non-trivial running moments so the folded BN affine matters
+        rs = np.random.RandomState(7)
+        for bn in list(state["bn"]) + [state["bn_in"]]:
+            dim = bn["mean"].shape[0]
+            bn["mean"] = jnp.asarray(rs.randn(dim) * 0.3, jnp.float32)
+            bn["var"] = jnp.asarray(0.5 + rs.rand(dim), jnp.float32)
     raw = np.random.RandomState(1).randn(57, 6).astype(np.float32)
 
     ref = offline_logits(params, state, config, raw)
@@ -120,14 +128,22 @@ def test_streaming_forward_cli(tmp_path):
                                    atol=2e-3)
 
 
-def test_streaming_stack_kernel_matches_offline(monkeypatch):
+@pytest.mark.parametrize("use_bn", [False, True])
+def test_streaming_stack_kernel_matches_offline(monkeypatch, use_bn):
     """With the fused mode forced (interpret on CPU), the streaming
     session routes chunks through the wavefront whole-stack kernel with
-    carried states — and must still match the offline forward."""
+    carried states — and must still match the offline forward.  With
+    use_bn, eval-mode BN rides in as the folded chain affine."""
     monkeypatch.setenv("LSTM_CTC_TPU_LSTM_IMPL", "pallas")
     monkeypatch.setenv("LSTM_CTC_TPU_STORE_DTYPE", "float32")
-    config = dict(BASE_CONFIG)
+    config = dict(BASE_CONFIG, use_bn=use_bn)
     params, state = init_model(jax.random.PRNGKey(2), config)
+    if use_bn:
+        rs = np.random.RandomState(9)
+        for bn in list(state["bn"]) + [state["bn_in"]]:
+            dim = bn["mean"].shape[0]
+            bn["mean"] = jnp.asarray(rs.randn(dim) * 0.3, jnp.float32)
+            bn["var"] = jnp.asarray(0.5 + rs.rand(dim), jnp.float32)
     raw = np.random.RandomState(3).randn(41, 6).astype(np.float32)
 
     calls = {}
