@@ -80,9 +80,8 @@ def _stack_gate(config, params_list, batch):
     from ..ops.lstm_stack_pallas import stack_eligible
     if not stack_eligible(params_list):
         return None
-    import jax as _jax
     return (mode, _compute_dtype(config), _fused_store_dtype(config),
-            _jax.default_backend() == "cpu")
+            jax.default_backend() == "cpu")
 
 
 def _bn_affine(bn_params_list, bn_state_list):
@@ -114,9 +113,8 @@ def _stack_outputs(config, params_list, x, sequence_length,
     mode, cdt, sdt, interpret = gate
     from ..ops.lstm_stack_pallas import lstm_stack_fused, \
         lstm_stack_sharded
-    import jax as _jax
     use_dropout = keep_prob < 1.0 and dropout_rng is not None
-    seed = _jax.random.randint(
+    seed = jax.random.randint(
         dropout_rng, (1,), -2 ** 31, 2 ** 31 - 1,
         dtype=jnp.int32) if use_dropout else None
     kp = keep_prob if use_dropout else 1.0

@@ -66,9 +66,11 @@ class StreamingSession:
         res_flags = [config["nnet_type"] == "lstm" and not (
             i == 0 and dims["input_dim"] != dims["output_dim"])
             for i in range(dims["num_layers"])]
+        from .blstm import _compute_dtype
+        from .lstm import _bn_affine, _stack_chunk
+
         # whole-stack wavefront kernel with chunk-carried states;
         # eval-mode BN folds in as per-layer chain affines
-        from .lstm import _bn_affine, _stack_chunk
         affine = _bn_affine(params["bn"], net_state["bn"]) \
             if use_bn else None
         stacked = _stack_chunk(config, params["layers"], out,
@@ -79,7 +81,6 @@ class StreamingSession:
         else:
             for i, cell in enumerate(params["layers"]):
                 residual = res_flags[i]
-                from .blstm import _compute_dtype
                 layer_out, state = lstm_scan(
                     cell, out, seq_len, forget_bias=1.0,
                     initial_state=states[i],
@@ -94,7 +95,6 @@ class StreamingSession:
                 out = layer_out
         flat = out.reshape(-1, out.shape[-1])
         if dims["num_experts"] > 0:
-            from .blstm import _compute_dtype
             y = apply_moe(params["moe"], flat, dims["num_experts"],
                           dims["moe_temp"],
                           compute_dtype=_compute_dtype(config))

@@ -5,9 +5,11 @@
 #
 #   queue.pl [options] [JOB=1:N] <logfile> <command...>
 #
-# Submits the command as an SGE array job (qsub -sync y) with JOB
-# substituted from $SGE_TASK_ID at run time, logs per task, and returns
-# nonzero if any task fails.  Recognized resource options:
+# Submits the command as an SGE array job (qsub -sync y).  The batch
+# script carries one case branch per task with JOB substituted up front
+# (run.pl semantics — quoting in the user's command never meets a
+# runtime ${SGE_TASK_ID} expansion), logs per task, and returns nonzero
+# if any task fails.  Recognized resource options:
 #
 #   -q <queue>                      queue name
 #   --mem <size>                    -l mem_free=<size>,ram_free=<size>
@@ -20,15 +22,24 @@
 # same semantics (single-machine fallback).
 use strict;
 use warnings;
-use Cwd qw(getcwd);
 use FindBin;
+
+require "$FindBin::Bin/job_dispatch_common.pl";
+
+my %VALUELESS = map { $_ => 1 } ("-V", "-cwd", "-r");
 
 my %res;
 my @passthru;
 while (@ARGV and $ARGV[0] =~ m/^-/) {
     my $opt = shift @ARGV;
-    if ($opt eq "-V") { next; }                       # inherit env (default)
-    my $val = @ARGV ? shift @ARGV : "";
+    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {   # --opt=value form
+        push @passthru, $1, $2;
+        next;
+    }
+    next if $VALUELESS{$opt};
+    # a valueless unknown flag must not swallow the JOB spec / logfile
+    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
+        ? shift @ARGV : "";
     if ($opt eq "-q" or $opt eq "--queue") {
         $res{queue} = $val;
     } elsif ($opt eq "--mem" or $opt eq "--max-mem") {
@@ -42,29 +53,17 @@ while (@ARGV and $ARGV[0] =~ m/^-/) {
     } elsif ($opt eq "--config") {
         # site config files are a Kaldi-ism we do not replicate
     } else {
-        push @passthru, $opt, $val;   # unknown: hand to qsub verbatim
+        push @passthru, $opt;
+        push @passthru, $val if $val ne "";
     }
 }
 
-my $jobname;
-my ($jstart, $jend) = (1, 1);
-if (@ARGV and $ARGV[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+):(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $3);
-    shift @ARGV;
-} elsif (@ARGV and $ARGV[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $2);
-    shift @ARGV;
-}
+my ($jobname, $jstart, $jend) = main::jd_parse_jobspec(\@ARGV);
 
 die "queue.pl: usage: queue.pl [options] [JOB=1:N] <logfile> <command...>\n"
     unless @ARGV >= 2;
 
-# no scheduler → run locally with identical semantics
-my $have_qsub = 0;
-for my $dir (split /:/, ($ENV{PATH} || "")) {
-    $have_qsub = 1, last if $dir ne "" and -x "$dir/qsub";
-}
-unless ($have_qsub) {
+unless (main::jd_have_exe("qsub")) {
     warn "queue.pl: qsub not found on PATH; running locally via run.pl\n";
     my @fwd = defined $jobname ? ("$jobname=$jstart:$jend") : ();
     exec("$FindBin::Bin/run.pl", @fwd, @ARGV)
@@ -72,46 +71,13 @@ unless ($have_qsub) {
 }
 
 my $logfile = shift @ARGV;
-# re-quote args containing whitespace (same round-trip rule as run.pl)
-my @quoted;
-for my $arg (@ARGV) {
-    if ($arg =~ m/^\S+$/) { push @quoted, $arg; }
-    elsif ($arg =~ m/"/)  { push @quoted, "'" . $arg . "'"; }
-    else                  { push @quoted, '"' . $arg . '"'; }
-}
-my $command = join(" ", @quoted);
-
-# batch script: JOB resolves from the array task id at run time
-my $cmd_rt = $command;
-my $log_rt = $logfile;
-if (defined $jobname) {
-    $cmd_rt =~ s/\Q$jobname\E/\${SGE_TASK_ID}/g;
-    $log_rt =~ s/\Q$jobname\E/\${SGE_TASK_ID}/g;
-}
-(my $qdir = $logfile) =~ s|/[^/]*$||;
-$qdir = "." if $qdir eq $logfile;
-$qdir .= "/q";
-system("mkdir", "-p", $qdir) == 0 or die "queue.pl: cannot mkdir $qdir\n";
-(my $base = $logfile) =~ s|.*/||;
-$base =~ s/\.[^.]+$//;
-my $script = "$qdir/$base.sh";
-
-open(my $sh, ">", $script) or die "queue.pl: cannot write $script\n";
-print $sh "#!/bin/bash\n";
-print $sh "cd " . quotemeta(getcwd()) . "\n";
-print $sh "log=\"$log_rt\"\n";
-print $sh "mkdir -p \"\$(dirname \"\$log\")\"\n";
-print $sh "echo \"# $cmd_rt\" > \"\$log\"\n";
-print $sh "echo \"# started \$(date)\" >> \"\$log\"\n";
-print $sh "( $cmd_rt ) >> \"\$log\" 2>&1\n";
-print $sh "ret=\$?\n";
-print $sh "echo \"# finished \$(date) status \$ret\" >> \"\$log\"\n";
-print $sh "exit \$ret\n";
-close $sh;
-chmod 0755, $script;
+my $command = main::jd_quote_args(@ARGV);
+my ($script, $name) = main::jd_script_and_name($logfile);
+main::jd_write_batch_script($script, "SGE_TASK_ID", $logfile,
+                            $command, $jobname, $jstart, $jend);
 
 my @qsub = ("qsub", "-sync", "y", "-V", "-cwd", "-b", "n",
-            "-o", "/dev/null", "-e", "/dev/null", "-N", $base);
+            "-o", "/dev/null", "-e", "/dev/null", "-N", $name);
 if (defined $jobname or $jend > $jstart) {
     push @qsub, "-t", "$jstart-$jend";
     push @qsub, "-tc", $res{maxrun} if $res{maxrun};

@@ -5,9 +5,11 @@
 #
 #   slurm.pl [options] [JOB=1:N] <logfile> <command...>
 #
-# Submits the command as a Slurm array job (sbatch --wait) with JOB
-# substituted from $SLURM_ARRAY_TASK_ID at run time, logs per task, and
-# returns nonzero if any task fails.  Recognized resource options:
+# Submits the command as a Slurm array job (sbatch --wait).  The batch
+# script carries one case branch per task with JOB substituted up front
+# (run.pl semantics — quoting in the user's command never meets a
+# runtime ${SLURM_ARRAY_TASK_ID} expansion), logs per task, and returns
+# nonzero if any task fails.  Recognized resource options:
 #
 #   -p / -q / --partition <name>   partition
 #   --mem <size>                   memory per task (e.g. 4G)
@@ -21,15 +23,24 @@
 # same semantics (single-machine fallback).
 use strict;
 use warnings;
-use Cwd qw(getcwd);
 use FindBin;
+
+require "$FindBin::Bin/job_dispatch_common.pl";
+
+my %VALUELESS = map { $_ => 1 } ("-V", "--wait", "--exclusive");
 
 my %res;
 my @passthru;
 while (@ARGV and $ARGV[0] =~ m/^-/) {
     my $opt = shift @ARGV;
-    if ($opt eq "-V") { next; }                       # inherit env (default)
-    my $val = @ARGV ? shift @ARGV : "";
+    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {   # --opt=value form
+        push @passthru, "$1=$2";
+        next;
+    }
+    next if $VALUELESS{$opt};
+    # a valueless unknown flag must not swallow the JOB spec / logfile
+    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
+        ? shift @ARGV : "";
     if ($opt eq "-p" or $opt eq "-q" or $opt eq "--partition") {
         $res{partition} = $val;
     } elsif ($opt eq "--mem" or $opt eq "--max-mem") {
@@ -45,29 +56,17 @@ while (@ARGV and $ARGV[0] =~ m/^-/) {
     } elsif ($opt eq "--config") {
         # site config files are a Kaldi-ism we do not replicate
     } else {
-        push @passthru, $opt, $val;   # unknown: hand to sbatch verbatim
+        push @passthru, $opt;
+        push @passthru, $val if $val ne "";
     }
 }
 
-my $jobname;
-my ($jstart, $jend) = (1, 1);
-if (@ARGV and $ARGV[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+):(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $3);
-    shift @ARGV;
-} elsif (@ARGV and $ARGV[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $2);
-    shift @ARGV;
-}
+my ($jobname, $jstart, $jend) = main::jd_parse_jobspec(\@ARGV);
 
 die "slurm.pl: usage: slurm.pl [options] [JOB=1:N] <logfile> <command...>\n"
     unless @ARGV >= 2;
 
-# no scheduler → run locally with identical semantics
-my $have_sbatch = 0;
-for my $dir (split /:/, ($ENV{PATH} || "")) {
-    $have_sbatch = 1, last if $dir ne "" and -x "$dir/sbatch";
-}
-unless ($have_sbatch) {
+unless (main::jd_have_exe("sbatch")) {
     warn "slurm.pl: sbatch not found on PATH; running locally via run.pl\n";
     my @fwd = defined $jobname ? ("$jobname=$jstart:$jend") : ();
     exec("$FindBin::Bin/run.pl", @fwd, @ARGV)
@@ -75,46 +74,13 @@ unless ($have_sbatch) {
 }
 
 my $logfile = shift @ARGV;
-# re-quote args containing whitespace (same round-trip rule as run.pl)
-my @quoted;
-for my $arg (@ARGV) {
-    if ($arg =~ m/^\S+$/) { push @quoted, $arg; }
-    elsif ($arg =~ m/"/)  { push @quoted, "'" . $arg . "'"; }
-    else                  { push @quoted, '"' . $arg . '"'; }
-}
-my $command = join(" ", @quoted);
-
-# batch script: JOB resolves from the array task id at run time
-my $cmd_rt = $command;
-my $log_rt = $logfile;
-if (defined $jobname) {
-    $cmd_rt =~ s/\Q$jobname\E/\${SLURM_ARRAY_TASK_ID}/g;
-    $log_rt =~ s/\Q$jobname\E/\${SLURM_ARRAY_TASK_ID}/g;
-}
-(my $qdir = $logfile) =~ s|/[^/]*$||;
-$qdir = "." if $qdir eq $logfile;
-$qdir .= "/q";
-system("mkdir", "-p", $qdir) == 0 or die "slurm.pl: cannot mkdir $qdir\n";
-(my $base = $logfile) =~ s|.*/||;
-$base =~ s/\.[^.]+$//;
-my $script = "$qdir/$base.sh";
-
-open(my $sh, ">", $script) or die "slurm.pl: cannot write $script\n";
-print $sh "#!/bin/bash\n";
-print $sh "cd " . quotemeta(getcwd()) . "\n";
-print $sh "log=\"$log_rt\"\n";
-print $sh "mkdir -p \"\$(dirname \"\$log\")\"\n";
-print $sh "echo \"# $cmd_rt\" > \"\$log\"\n";
-print $sh "echo \"# started \$(date)\" >> \"\$log\"\n";
-print $sh "( $cmd_rt ) >> \"\$log\" 2>&1\n";
-print $sh "ret=\$?\n";
-print $sh "echo \"# finished \$(date) status \$ret\" >> \"\$log\"\n";
-print $sh "exit \$ret\n";
-close $sh;
-chmod 0755, $script;
+my $command = main::jd_quote_args(@ARGV);
+my ($script, $name) = main::jd_script_and_name($logfile);
+main::jd_write_batch_script($script, "SLURM_ARRAY_TASK_ID", $logfile,
+                            $command, $jobname, $jstart, $jend);
 
 my @sbatch = ("sbatch", "--wait", "--export=ALL", "--output=/dev/null",
-              "--job-name=$base");
+              "--job-name=$name");
 my $array = "$jstart-$jend";
 $array .= "%$res{maxrun}" if $res{maxrun};
 push @sbatch, "--array=$array" if defined $jobname or $jend > $jstart;

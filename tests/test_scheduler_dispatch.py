@@ -189,3 +189,59 @@ def test_slurm_single_job_no_array(tmp_path):
     text = log.read_text()
     assert "one-shot" in text and "status 0" in text
     assert "--array" not in (tmp_path / "sched_argv.log").read_text()
+
+
+def test_slurm_job_substitution_inside_single_quotes(tmp_path):
+    """Args containing a double-quote are single-quoted on the shell
+    round-trip; JOB must still substitute (the batch script carries one
+    Perl-substituted case branch per task — run.pl semantics — instead
+    of relying on a runtime ${TASK_ID} expansion)."""
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "sq.JOB.log"
+    r = _run("slurm.pl",
+             ["JOB=1:2", str(log), "sh", "-c", 'echo "quoted JOB"'],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 2):
+        assert ("quoted %d" % i) in \
+            (tmp_path / ("sq.%d.log" % i)).read_text()
+
+
+def test_queue_valueless_flag_does_not_swallow_jobspec(tmp_path):
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "vf.JOB.log"
+    r = _run("queue.pl",
+             ["-cwd", "-V", "JOB=1:2", str(log), "echo", "vf", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 2):
+        assert ("vf %d" % i) in \
+            (tmp_path / ("vf.%d.log" % i)).read_text()
+    assert "-t 1-2" in (tmp_path / "sched_argv.log").read_text()
+
+
+def test_job_name_sanitized_for_schedulers(tmp_path):
+    # SGE rejects names with a leading digit; both dispatchers sanitize
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "10.JOB.log"
+    r = _run("queue.pl", ["JOB=1:1", str(log), "echo", "n", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "-N j10.JOB" in (tmp_path / "sched_argv.log").read_text()
+
+
+def test_command_substitution_runs_exactly_once(tmp_path):
+    """The log-header line is written as a literal (printf '%s'), so a
+    command is parsed by the shell exactly once per task — an appending
+    side effect must appear exactly once."""
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    side = tmp_path / "side.txt"
+    log = tmp_path / "once.JOB.log"
+    r = _run("slurm.pl",
+             ["JOB=1:1", str(log),
+              "sh", "-c", "echo hit >> %s" % side],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert side.read_text().count("hit") == 1
+    # and the header records the command literally
+    assert "echo hit >>" in (tmp_path / "once.1.log").read_text()
