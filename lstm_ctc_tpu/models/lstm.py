@@ -119,12 +119,11 @@ def _stack_outputs(config, params_list, x, sequence_length,
         dtype=jnp.int32) if use_dropout else None
     kp = keep_prob if use_dropout else 1.0
     if mode == "sharded":
-        if use_dropout or affine is not None:
-            return None   # per-shard hash seeds/affines not plumbed yet
         out, _ = lstm_stack_sharded(
             config["mesh"], params_list, x, sequence_length, 1.0,
             residual_flags=tuple(residual_flags), compute_dtype=cdt,
-            store_dtype=sdt, interpret=interpret)
+            store_dtype=sdt, interpret=interpret,
+            keep_prob=kp, seed=seed, affine=affine)
     else:
         out, _ = lstm_stack_fused(
             params_list, x, sequence_length, 1.0,

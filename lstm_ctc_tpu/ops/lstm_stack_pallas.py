@@ -736,26 +736,47 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
 def lstm_stack_sharded(mesh, params_list, x, sequence_length,
                        forget_bias=1.0, residual_flags=None,
                        compute_dtype=None, store_dtype="bfloat16",
-                       time_block=None, interpret=False):
+                       time_block=None, interpret=False,
+                       keep_prob=1.0, seed=None, affine=None):
     """Data-parallel wrapper: the wavefront kernel runs per-shard under
     shard_map (a raw pallas_call inside a GSPMD jit would be replicated
-    — same rationale as lstm_pallas.bilstm_dual_scan_sharded)."""
+    — same rationale as lstm_pallas.bilstm_dual_scan_sharded).
+
+    keep_prob/seed: in-kernel hash dropout; each shard offsets the seed
+    by its mesh position so masks are independent across shards (the
+    kernel's hash counter indexes LOCAL rows, which repeat per shard).
+    affine: per-layer eval-BN channel affines, replicated."""
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     dp, rep = P(axis), P()
     n = len(params_list)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    if affine is not None:
+        a_stack = jnp.stack([a for a, _ in affine])      # [L, P]
+        b_stack = jnp.stack([b for _, b in affine])
+    else:
+        a_stack = b_stack = jnp.zeros((0,), jnp.float32)
 
-    def per_shard(plist, xs, sl):
+    def per_shard(plist, xs, sl, sd, a_st, b_st):
+        if keep_prob < 1.0:
+            # de-correlate shards: the hash counter restarts at local
+            # row 0 on every shard, so fold the mesh position in
+            sd = sd + jax.lax.axis_index(axis).astype(jnp.int32) * 7919
+        aff = [(a_st[l], b_st[l]) for l in range(n)] \
+            if affine is not None else None
         return lstm_stack_fused(
             list(plist), xs, sl, forget_bias,
             residual_flags=residual_flags, compute_dtype=compute_dtype,
             store_dtype=store_dtype, time_block=time_block,
-            interpret=interpret)
+            interpret=interpret, keep_prob=keep_prob, seed=sd,
+            affine=aff)
 
     return jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(rep, dp, dp),
+        in_specs=(rep, dp, dp, rep, rep, rep),
         out_specs=(dp, [(dp, dp)] * n),
         check_vma=False,
-    )(tuple(params_list), x, sequence_length)
+    )(tuple(params_list), x, sequence_length, seed, a_stack, b_stack)

@@ -374,3 +374,74 @@ def test_stack_eval_bn_affine_matches_per_layer(monkeypatch):
     for a, b in zip(got_state["bn"], want_state["bn"]):
         np.testing.assert_array_equal(np.asarray(a["mean"]),
                                       np.asarray(b["mean"]))
+
+
+def _two_device_mesh():
+    from jax.sharding import Mesh
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        import pytest
+        pytest.skip("needs >=2 virtual devices")
+    return Mesh(np.asarray(devs[:2]), ("data",))
+
+
+def test_sharded_stack_affine_matches_fused():
+    """The sharded wrapper with the eval-BN affine must equal the
+    single-device fused kernel on the concatenated batch."""
+    from lstm_ctc_tpu.ops.lstm_stack_pallas import lstm_stack_sharded
+
+    mesh = _two_device_mesh()
+    params = make_stack(3, 12, True)
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T, T - 2, 7, 3], jnp.int32)
+    flags = (False, True, True)
+    affine = [(jnp.asarray(0.5 + rs.rand(12), jnp.float32),
+               jnp.asarray(rs.randn(12) * 0.2, jnp.float32))
+              for _ in range(3)]
+
+    want, want_states = lstm_stack_fused(
+        params, x, seq, 1.0, residual_flags=flags,
+        store_dtype="float32", time_block=8, interpret=True,
+        affine=affine)
+    got, got_states = lstm_stack_sharded(
+        mesh, params, x, seq, 1.0, residual_flags=flags,
+        store_dtype="float32", time_block=8, interpret=True,
+        affine=affine)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    for (gc, gh), (wc, wh) in zip(got_states, want_states):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(wc),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_stack_dropout_decorrelates_shards():
+    """Identical data on both shards: with in-kernel dropout the two
+    shard outputs must DIFFER (per-shard seed offset via axis_index) —
+    the hash counter indexes local rows and would otherwise repeat the
+    same mask on every shard.  With keep_prob=1 the halves agree,
+    proving the data really is identical."""
+    from lstm_ctc_tpu.ops.lstm_stack_pallas import lstm_stack_sharded
+
+    mesh = _two_device_mesh()
+    params = make_stack(3, 12, True)
+    rs = np.random.RandomState(5)
+    half = np.asarray(rs.randn(2, T, D0), np.float32)
+    x = jnp.asarray(np.concatenate([half, half], axis=0))  # [4, T, D]
+    seq = jnp.full((4,), T, jnp.int32)
+    flags = (False, True, True)
+
+    clean, _ = lstm_stack_sharded(
+        mesh, params, x, seq, 1.0, residual_flags=flags,
+        store_dtype="float32", time_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(clean[:2]),
+                               np.asarray(clean[2:]),
+                               rtol=1e-6, atol=1e-6)
+
+    dropped, _ = lstm_stack_sharded(
+        mesh, params, x, seq, 1.0, residual_flags=flags,
+        store_dtype="float32", time_block=8, interpret=True,
+        keep_prob=0.5, seed=jnp.asarray([123], jnp.int32))
+    assert not np.allclose(np.asarray(dropped[:2]),
+                           np.asarray(dropped[2:]), atol=1e-6), \
+        "shards produced identical dropout masks"
