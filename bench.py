@@ -350,4 +350,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the driver records this run; ride out transient remote-TPU errors
+    # (no output is streamed until the final JSON line, so a full re-run
+    # is safe)
+    from lstm_ctc_tpu.cli import run_with_backend_retry
+    run_with_backend_retry(main, what="bench")
