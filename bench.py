@@ -79,7 +79,10 @@ def _sync(x):
     return float(x)
 
 
-def _time_steps_loop(run_once, final_sync, steps=100, steps_small=10):
+STEPS_BIG, STEPS_SMALL = 100, 10     # shrunk by --smoke
+
+
+def _time_steps_loop(run_once, final_sync, steps=None, steps_small=None):
     """Steady-state seconds/step via a TWO-WINDOW measurement.
 
     Rules learned the hard way on the remote-TPU transport:
@@ -97,6 +100,8 @@ def _time_steps_loop(run_once, final_sync, steps=100, steps_small=10):
       N_small).  The N=10/N=100 pair reproduces the N=300 asymptote
       within 1%.
     """
+    steps = STEPS_BIG if steps is None else steps
+    steps_small = STEPS_SMALL if steps_small is None else steps_small
     run_once()
     final_sync()   # compile + warm
 
@@ -109,7 +114,12 @@ def _time_steps_loop(run_once, final_sync, steps=100, steps_small=10):
 
     t_small = window(steps_small)
     t_big = window(steps)
-    return (t_big - t_small) / (steps - steps_small)
+    dt = (t_big - t_small) / (steps - steps_small)
+    if dt <= 0:
+        # noise exceeded the per-step cost (micro shapes / cold caches):
+        # the difference is meaningless — fall back to the big window
+        dt = t_big / steps
+    return dt
 
 
 def bench_unpacked(config, batch_size, time_steps, jax):
@@ -158,9 +168,12 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
     # consumes batch_size·pf utts, and a fixture smaller than a couple of
     # batches leaves the packer a degenerate tail (fill collapses)
     n_utts = max(512, 8 * batch_size * max(pack_factor or 1, 1))
+    len_lo, len_hi = 200, 1152
+    if _SMOKE:
+        n_utts, (len_lo, len_hi) = 4 * batch_size, (30, 120)
     raw_dim = config["input_dim"]
     # WSJ-ish raw utterance lengths (10 ms frames, pre-subsample)
-    lengths = rng_np.randint(200, 1152, size=n_utts)
+    lengths = rng_np.randint(len_lo, len_hi, size=n_utts)
     label_lens = np.maximum(2, lengths // 30)
     metas = [RecordMeta("u%03d" % i, int(t), raw_dim, True, "mem", i)
              for i, t in enumerate(lengths)]
@@ -233,10 +246,13 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
 
     dt = _time_steps_loop(run_once,
                           lambda: _sync(state["m"]["eval_loss"]),
-                          steps=9 * len(batches),
+                          steps=(9 if not _SMOKE else 2) * len(batches),
                           steps_small=len(batches))
     mean_real = float(np.mean(real_frames))
     return mean_real / dt, fill
+
+
+_SMOKE = False
 
 
 def main():
@@ -246,6 +262,12 @@ def main():
     from lstm_ctc_tpu.models import apply_model, init_model
 
     config = dict(FLAGSHIP_CONFIG, dropout_rate=1.0)
+    bench_b, bench_t = 32, 384
+    if _SMOKE:
+        # CI path: tiny shapes, every row exercised, numbers meaningless
+        config.update(num_layers=2, num_neurons=16, num_projects=16,
+                      num_experts=4)
+        bench_b, bench_t = 4, 32
     fwd_flops = model_fwd_flops_per_frame(config)
     train_flops = 3 * fwd_flops
 
@@ -262,17 +284,17 @@ def main():
             rows.append({"config": label, "error": str(exc)[:200]})
 
     # the headline row runs un-guarded: without it there is no metric
-    fps32 = bench_unpacked(config, 32, 384, jax)
+    fps32 = bench_unpacked(config, bench_b, bench_t, jax)
     rows.append({"config": "flagship_b32_t384",
                  "frames_per_sec": round(fps32, 1), "mfu": mfu(fps32)})
 
     def row_b64():
-        fps64 = bench_unpacked(config, 64, 384, jax)
+        fps64 = bench_unpacked(config, 2 * bench_b, bench_t, jax)
         return {"config": "flagship_b64_t384",
                 "frames_per_sec": round(fps64, 1), "mfu": mfu(fps64)}
 
     def row_packed():
-        fps_packed, fill = bench_packed(config, 32, 3, jax)
+        fps_packed, fill = bench_packed(config, bench_b, 3, jax)
         return {"config": "recipe_packed_pf3_b32",
                 "frames_per_sec": round(fps_packed, 1),
                 "mfu": mfu(fps_packed), "fill": round(fill, 3),
@@ -286,10 +308,12 @@ def main():
     # unidirectional families — the wavefront whole-stack kernel path
     # (ops/lstm_stack_pallas.py)
     def fam_row(fam, proj, peep):
+        if _SMOKE and proj:
+            proj = config["num_projects"]
         fam_cfg = dict(config, nnet_type=fam, num_projects=proj,
                        use_peepholes=peep, num_experts=0)
         fam_flops = 3 * model_fwd_flops_per_frame(fam_cfg)
-        fps_fam = bench_unpacked(fam_cfg, 32, 384, jax)
+        fps_fam = bench_unpacked(fam_cfg, bench_b, bench_t, jax)
         return {"config": "%s_b32_t384" % fam,
                 "frames_per_sec": round(fps_fam, 1),
                 "mfu": round(fps_fam * fam_flops
@@ -303,7 +327,7 @@ def main():
 
     # --- forward (inference) ---
     params, net_state = init_model(jax.random.PRNGKey(0), config)
-    batch = _example_batch(config, batch=32, time_steps=384)
+    batch = _example_batch(config, batch=bench_b, time_steps=bench_t)
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     @jax.jit
@@ -322,7 +346,7 @@ def main():
     try:
         fwd_dt = _time_steps_loop(run_fwd,
                                   lambda: _sync(fwd_out["o"].sum()))
-        fwd_fps = 32 * 384 / fwd_dt
+        fwd_fps = bench_b * bench_t / fwd_dt
     except Exception as exc:   # noqa: BLE001
         fwd_fps = None
         rows.append({"config": "forward_b32_t384",
@@ -350,6 +374,10 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+    if "--smoke" in sys.argv:
+        _SMOKE = True
+        STEPS_BIG, STEPS_SMALL = 4, 2
     # the driver records this run; ride out transient remote-TPU errors
     # (no output is streamed until the final JSON line, so a full re-run
     # is safe)
