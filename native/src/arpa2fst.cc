@@ -128,12 +128,19 @@ Fst ArpaToFst(std::istream& is, const SymbolTable& words,
       }
       fst.AddArc(src, {word, word, weight, state_of(next_hist)});
     }
-    if (has_backoff && current < order) {
+    // ARPA's backoff field is OPTIONAL (SRILM/kaldi_lm omit it for
+    // n-grams never seen as a context — bow = 0 by convention); without
+    // the implicit arc the destination state of the word arc above
+    // would be a dead end that Connect() trims, silently rerouting
+    // through the shorter history at the wrong score.  </s>-final
+    // n-grams create no context state at all.
+    if (current < order && grams.back() != "</s>") {
       std::vector<Label> full(ids.begin(), ids.end());
       StateId from = state_of(full);
       // backoff to the suffix history
       std::vector<Label> shorter(full.begin() + 1, full.end());
-      fst.AddArc(from, {backoff_label, 0, -backoff * kLn10,
+      fst.AddArc(from, {backoff_label, 0,
+                        has_backoff ? -backoff * kLn10 : 0.0f,
                         state_of(shorter)});
     }
   }

@@ -41,18 +41,22 @@ using Subset = std::vector<Element>;
 
 constexpr float kDelta = 1e-4f;
 
-// quantized key so float jitter does not split subsets
+// quantized key so float jitter does not split subsets.  Every element
+// is length-prefixed: a bare '\xff' separator also occurs inside the
+// raw 4-byte fields, so two different subsets could otherwise serialize
+// to the same bytes and be wrongly interned as one state.
 std::string SubsetKey(const Subset& subset) {
   std::string key;
   key.reserve(subset.size() * 16);
   for (const auto& e : subset) {
+    int32_t olen = static_cast<int32_t>(e.ostring.size());
+    key.append(reinterpret_cast<const char*>(&olen), 4);
     key.append(reinterpret_cast<const char*>(&e.state), 4);
     int32_t w = static_cast<int32_t>(std::lround(e.weight / kDelta));
     key.append(reinterpret_cast<const char*>(&w), 4);
     for (Label l : e.ostring) {
       key.append(reinterpret_cast<const char*>(&l), 4);
     }
-    key.push_back('\xff');
   }
   return key;
 }

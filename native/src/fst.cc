@@ -7,6 +7,7 @@
 #include <queue>
 #include <sstream>
 #include <stdexcept>
+#include <unordered_map>
 
 namespace lctc {
 
@@ -345,9 +346,25 @@ Fst RmEpsilon(const Fst& fst) {
   Fst out;
   for (StateId s = 0; s < n; ++s) out.AddState();
   out.SetStart(fst.Start());
+  auto is_eps = [](const Arc& a) {
+    return a.ilabel == 0 && a.olabel == 0;
+  };
   for (StateId s = 0; s < n; ++s) {
+    // fast path: no epsilon out-arcs → copy verbatim.  The closure
+    // below is SPARSE (hash map over eps-reachable states only): a
+    // dense n-sized dist per source state made this O(n²) memory
+    // traffic on million-state graphs.
+    bool has_eps = false;
+    for (const Arc& arc : fst.ArcsAt(s)) {
+      if (is_eps(arc)) { has_eps = true; break; }
+    }
+    if (!has_eps) {
+      for (const Arc& arc : fst.ArcsAt(s)) out.AddArc(s, arc);
+      if (fst.IsFinal(s)) out.SetFinal(s, fst.Final(s));
+      continue;
+    }
     // epsilon closure from s by Dijkstra over eps arcs (tropical)
-    std::vector<float> dist(n, kInfinity);
+    std::unordered_map<StateId, float> dist;
     using Item = std::pair<float, StateId>;
     std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
     dist[s] = 0.0f;
@@ -356,25 +373,26 @@ Fst RmEpsilon(const Fst& fst) {
     while (!pq.empty()) {
       auto [d, u] = pq.top();
       pq.pop();
-      if (d > dist[u]) continue;
+      auto du = dist.find(u);
+      if (du != dist.end() && d > du->second) continue;
       if (fst.IsFinal(u)) {
         final_weight = std::min(final_weight, d + fst.Final(u));
       }
       for (const Arc& arc : fst.ArcsAt(u)) {
-        if (arc.ilabel == 0 && arc.olabel == 0) {
+        if (is_eps(arc)) {
           float nd = d + arc.weight;
-          if (nd < dist[arc.nextstate]) {
+          auto it = dist.find(arc.nextstate);
+          if (it == dist.end() || nd < it->second) {
             dist[arc.nextstate] = nd;
             pq.push({nd, arc.nextstate});
           }
         }
       }
     }
-    for (StateId u = 0; u < n; ++u) {
-      if (dist[u] == kInfinity) continue;
+    for (const auto& [u, d] : dist) {
       for (const Arc& arc : fst.ArcsAt(u)) {
-        if (arc.ilabel == 0 && arc.olabel == 0) continue;
-        out.AddArc(s, {arc.ilabel, arc.olabel, dist[u] + arc.weight,
+        if (is_eps(arc)) continue;
+        out.AddArc(s, {arc.ilabel, arc.olabel, d + arc.weight,
                        arc.nextstate});
       }
     }

@@ -122,6 +122,13 @@ Fst CompileText(std::istream& is, const SymbolTable* isym,
       fst.SetFinal(s, tok.size() == 2 ? std::stof(tok[1]) : 0.0f);
       if (first) { fst.SetStart(s); first = false; }
     } else {
+      if (tok.size() < 4) {
+        // "src dst ilabel" alone is acceptor syntax; this compiler is a
+        // transducer compiler — reject instead of reading past the end
+        std::cerr << "bad FST text line (want src dst ilabel olabel "
+                  << "[weight]): " << line << "\n";
+        exit(1);
+      }
       Arc arc;
       StateId s = std::stoi(tok[0]);
       arc.nextstate = std::stoi(tok[1]);

@@ -100,7 +100,9 @@ static int32_t ReadBasicInt32(ByteSource* src) {
     throw std::runtime_error("bad int32 size marker in archive");
   }
   int32_t value;
-  src->Read(&value, 4);
+  if (!src->Read(&value, 4)) {
+    throw std::runtime_error("truncated archive: EOF inside int32");
+  }
   return value;
 }
 
@@ -126,16 +128,23 @@ bool SequentialMatrixReader::Next(std::string* key, Matrix* matrix) {
                              "decoder; pipe through copy-feats first");
   }
   char token[4] = {0, 0, 0, 0};
-  src_->Read(token, 3);  // "FM " expected
+  if (!src_->Read(token, 3)) {  // "FM " expected
+    throw std::runtime_error("truncated archive: EOF inside header");
+  }
   if (std::memcmp(token, "FM ", 3) != 0) {
     throw std::runtime_error(std::string("expected FM matrix, got '") +
                              token + "'");
   }
   matrix->rows = ReadBasicInt32(src_.get());
   matrix->cols = ReadBasicInt32(src_.get());
+  if (matrix->rows < 0 || matrix->cols < 0 ||
+      static_cast<int64_t>(matrix->rows) * matrix->cols > (1LL << 31)) {
+    throw std::runtime_error("corrupt archive: implausible matrix shape");
+  }
   matrix->data.resize(static_cast<size_t>(matrix->rows) * matrix->cols);
-  if (!matrix->data.empty()) {
-    src_->Read(matrix->data.data(), matrix->data.size() * 4);
+  if (!matrix->data.empty() &&
+      !src_->Read(matrix->data.data(), matrix->data.size() * 4)) {
+    throw std::runtime_error("truncated archive: EOF inside matrix data");
   }
   return true;
 }

@@ -101,12 +101,10 @@ class LatticeDecoder {
 
     // final states
     bool found_final = false;
-    float best_final = kInf;
     for (const auto& [s, tok] : cur) {
       if (graph_.IsFinal(s)) {
         lat.SetFinal(tok.lat_state, graph_.Final(s), 0.0f);
         found_final = true;
-        best_final = std::min(best_final, tok.cost + graph_.Final(s));
       }
     }
     if (!found_final) {
@@ -117,6 +115,10 @@ class LatticeDecoder {
         if (tok.cost <= best + 1e-3f) lat.SetFinal(tok.lat_state, 0, 0);
       }
     }
+    // final prune to the --lattice-beam contract: without it the
+    // written lattice keeps decode-beam-wide margins for every frame
+    // since the last periodic prune (PruneForwardLinksFinal semantics)
+    lat.Prune(flags_.lattice_beam, nullptr, nullptr);
     *lattice = std::move(lat);
     return true;
   }
@@ -169,7 +171,8 @@ class LatticeDecoder {
     sources.reserve(cur.size());
     for (const auto& [s, tok] : cur) sources.push_back({tok.cost, s});
     float src_cutoff = kInf;
-    if (static_cast<int>(sources.size()) > flags_.max_active) {
+    if (flags_.max_active > 0 &&
+        static_cast<int>(sources.size()) > flags_.max_active) {
       std::nth_element(sources.begin(),
                        sources.begin() + flags_.max_active - 1,
                        sources.end());
@@ -193,6 +196,26 @@ class LatticeDecoder {
     // second pass: settle token costs first, then add lattice arcs with a
     // per-destination margin (bounds the arc flood on high-entropy frames)
     float cutoff = best + flags_.beam;
+    // --min-active beam floor (Kaldi GetCutoff): when the beam would
+    // leave fewer than min_active candidates, loosen the cutoff to the
+    // min_active-th best so quiet/ambiguous frames cannot collapse the
+    // search.  (Approximate: pass 1's running-best prune may already
+    // have dropped candidates ≥ best+beam; the floor governs the final
+    // cutoff among the survivors.)
+    if (flags_.min_active > 0) {
+      if (static_cast<int>(cands.size()) <= flags_.min_active) {
+        cutoff = kInf;
+      } else {
+        std::vector<float> costs;
+        costs.reserve(cands.size());
+        for (const Cand& cand : cands) costs.push_back(cand.cost);
+        std::nth_element(costs.begin(),
+                         costs.begin() + flags_.min_active - 1,
+                         costs.end());
+        cutoff = std::max(cutoff,
+                          costs[flags_.min_active - 1] + 1e-4f);
+      }
+    }
     next->reserve(cands.size());
     for (const Cand& cand : cands) {
       if (cand.cost >= cutoff) continue;

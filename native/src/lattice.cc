@@ -48,25 +48,36 @@ bool Lattice::Read(ByteSource* src, std::string* key, Lattice* lat) {
       std::memcmp(header + 2, kLatMagic, 4) != 0) {
     throw std::runtime_error("bad lattice entry for key " + *key);
   }
+  auto need = [&](void* dst, size_t len) {
+    if (!src->Read(dst, len)) {
+      throw std::runtime_error("truncated lattice entry for key " + *key);
+    }
+  };
   int32_t n;
-  src->Read(&n, 4);
+  need(&n, 4);
   *lat = Lattice();
-  src->Read(&lat->start_, 4);
+  need(&lat->start_, 4);
+  if (n < 0) {
+    throw std::runtime_error("corrupt lattice entry for key " + *key);
+  }
   lat->arcs_.resize(n);
   lat->final_.resize(n);
   for (int32_t s = 0; s < n; ++s) {
     unsigned char flag;
-    src->Read(&flag, 1);
+    need(&flag, 1);
     if (flag) {
       lat->final_[s].is_final = true;
-      src->Read(&lat->final_[s].graph_cost, 4);
-      src->Read(&lat->final_[s].acoustic_cost, 4);
+      need(&lat->final_[s].graph_cost, 4);
+      need(&lat->final_[s].acoustic_cost, 4);
     }
     int32_t num_arcs;
-    src->Read(&num_arcs, 4);
+    need(&num_arcs, 4);
+    if (num_arcs < 0) {
+      throw std::runtime_error("corrupt lattice entry for key " + *key);
+    }
     lat->arcs_[s].resize(num_arcs);
     if (num_arcs) {
-      src->Read(lat->arcs_[s].data(), sizeof(LatticeArc) * num_arcs);
+      need(lat->arcs_[s].data(), sizeof(LatticeArc) * num_arcs);
     }
   }
   return true;
@@ -182,8 +193,16 @@ bool Lattice::Prune(float beam,
   if (extra_finals) {
     for (int32_t s : *extra_finals) {
       if (alpha[s] != kInf) {
-        beta[s] = std::min(beta[s], 0.0f);
-        best = std::min(best, alpha[s]);
+        // Each frontier state is its OWN reference (beta = −alpha, so
+        // its total is 0): a path survives on its slack vs the best
+        // path into the SAME frontier token, never vs the globally
+        // best token (Kaldi PruneActiveTokens semantics).  Frontier
+        // tokens therefore always survive — the decode beam owns
+        // frontier pruning — and results cannot depend on when/how
+        // often the in-progress prune runs (prune_interval/max_mem
+        // stay memory-only knobs).
+        beta[s] = std::min(beta[s], -alpha[s]);
+        best = std::min(best, 0.0f);
       }
     }
   }

@@ -8,6 +8,7 @@
 #include <cstdint>
 #include <cstring>
 #include <map>
+#include <tuple>
 #include <unordered_map>
 #include <vector>
 
@@ -37,12 +38,24 @@ Fst MinimizeEncoded(const Fst& input) {
     int64_t symbol;
     StateId nextstate;
   };
+  // Intern exact (ilabel, olabel, weight_code) triples into dense
+  // symbols.  A shifted-XOR pack would overlap bit ranges once label or
+  // weight cardinalities grow (>2^24 labels / >2^16 distinct weights in
+  // a real determinized LG) and silently merge non-equivalent states.
+  std::map<std::tuple<int32_t, int32_t, int32_t>, int64_t> arc_symbols;
+  auto arc_symbol = [&](int32_t ilabel, int32_t olabel, int32_t wcode) {
+    auto key = std::make_tuple(ilabel, olabel, wcode);
+    auto it = arc_symbols.find(key);
+    if (it != arc_symbols.end()) return it->second;
+    int64_t code = static_cast<int64_t>(arc_symbols.size());
+    arc_symbols.emplace(key, code);
+    return code;
+  };
   std::vector<std::vector<EncArc>> enc(n);
   for (StateId s = 0; s < n; ++s) {
     for (const Arc& arc : input.ArcsAt(s)) {
-      int64_t sym = (static_cast<int64_t>(arc.ilabel) << 40) ^
-                    (static_cast<int64_t>(arc.olabel) << 16) ^
-                    weight_code(arc.weight);
+      int64_t sym = arc_symbol(arc.ilabel, arc.olabel,
+                               weight_code(arc.weight));
       enc[s].push_back({sym, arc.nextstate});
     }
   }

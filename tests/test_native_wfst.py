@@ -631,3 +631,160 @@ def test_latgen_max_mem_bounds_lattice_growth(tmp_path):
     peak_tiny, _, cost_tiny = decode("tiny", "--max-mem=50000")
     assert peak_tiny < peak_tight
     assert cost_tiny <= cost_off * 1.03, (cost_tiny, cost_off)
+
+
+def test_arpa2fst_implicit_backoff_for_missing_bow_field(tmp_path):
+    """ARPA's backoff column is optional (SRILM/kaldi_lm omit it for
+    n-grams never seen as a context; bow = 0 by convention).  Without
+    the implicit backoff arc the destination state was a dead end that
+    Connect() trimmed — silently deleting the n-gram's word arc and
+    rerouting through the shorter history at the wrong score."""
+    words = tmp_path / "words.txt"
+    words.write_text("<eps> 0\ncat 1\ndog 2\n#0 3\n")
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("""
+\\data\\
+ngram 1=4
+ngram 2=3
+ngram 3=1
+
+\\1-grams:
+-0.5 </s>
+-99 <s> -0.4
+-0.5 cat -0.4
+-0.5 dog -0.4
+
+\\2-grams:
+-0.2 <s> cat -0.3
+-0.25 cat dog
+-0.3 dog </s>
+
+\\3-grams:
+-0.1 <s> cat dog
+
+\\end\\
+""")
+    g = str(tmp_path / "G.fst")
+    fst_tools("arpa2fst", "--disambig-symbol=#0",
+              "--read-symbol-table=%s" % words, str(arpa), g)
+    text = fst_tools("print", g)
+    arcs = {}       # src -> list of (ilabel, dest, weight)
+    first_src = None
+    for line in text.splitlines():
+        tok = line.split()
+        if len(tok) >= 4:
+            src, dst, il = int(tok[0]), int(tok[1]), int(tok[2])
+            w = float(tok[4]) if len(tok) >= 5 else 0.0
+            arcs.setdefault(src, []).append((il, dst, w))
+            if first_src is None:
+                first_src = src
+
+    def follow(state, label):
+        hits = [(d, w) for il, d, w in arcs.get(state, []) if il == label]
+        assert hits, "no arc labeled %d from state %d" % (label, state)
+        return hits[0]
+
+    ln10 = math.log(10.0)
+    # start --cat--> {<s>,cat} --dog (trigram)--> {cat,dog}
+    s1, _ = follow(first_src, 1)
+    s2, w_tri = follow(s1, 2)
+    assert abs(w_tri - 0.1 * ln10) < 1e-4
+    # {cat,dog} carries the IMPLICIT bow=0 backoff arc (#0 = id 3)
+    dests = [(il, w) for il, d, w in arcs.get(s2, [])]
+    assert (3, 0.0) in [(il, round(w, 6)) for il, w in dests], dests
+    # and the bigram arc cat->dog (the one the old Connect() trimmed)
+    s_cat, _ = follow(s1, 3)          # backoff {<s>,cat} -> {cat}
+    _, w_bi = follow(s_cat, 2)
+    assert abs(w_bi - 0.25 * ln10) < 1e-4
+
+
+def test_minimize_keeps_weight_distinct_states(tmp_path):
+    """States whose arcs differ only in weight are NOT equivalent."""
+    f = compile_text(
+        "0 1 1 1 0.5\n"
+        "0 2 2 2 0.0\n"
+        "1 3 1 1 0.25\n"
+        "2 3 1 1 0.75\n"
+        "3\n", tmp_path, "w.fst")
+    out = str(tmp_path / "w_min.fst")
+    fst_tools("minimizeencoded", f, out)
+    info = fst_tools("info", out)
+    n_states = int([l for l in info.splitlines()
+                    if "states" in l][0].split()[-1])
+    assert n_states == 4, info
+
+
+def test_compile_rejects_three_token_arc_line(tmp_path):
+    """'src dst ilabel' is acceptor syntax; the transducer compiler must
+    error out, not read past the token vector."""
+    proc = subprocess.run(
+        [os.path.join(FSTBIN, "fst-tools"), "compile", "-",
+         str(tmp_path / "bad.fst")],
+        input="0 1 2\n1\n", capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode == 1, proc.returncode
+    assert "bad FST text line" in proc.stderr
+
+
+def test_latgen_rejects_truncated_archive(tmp_path):
+    """A posterior ark cut mid-matrix must be a clean hard error, not
+    garbage rows/cols from uninitialized memory."""
+    lang, units = make_tlg(tmp_path)
+    mat = np.zeros((20, len(units) + 1), np.float32)
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("utt1", mat)
+    data = open(post_ark, "rb").read()
+    open(post_ark, "wb").write(data[:len(data) // 2])
+    proc = subprocess.run(
+        [os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+         "--allow-partial=true", str(lang / "TLG.fst"),
+         "ark:" + post_ark, "ark:" + str(tmp_path / "lat.ark")],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode != 0
+    err = proc.stderr.lower()
+    assert "truncated" in err or "short read" in err, proc.stderr
+
+
+def test_latgen_prune_interval_invariance_and_active_flags(tmp_path):
+    """The in-progress prune is frontier-relative (each active token is
+    its own reference), so the best path is EXACTLY invariant to
+    --prune-interval; --max-active=0 means unlimited (no UB); a
+    --min-active floor loosens the beam cutoff instead of letting a
+    tight beam starve the search."""
+    lang, units = make_tlg(tmp_path)
+    rng = np.random.RandomState(3)
+    mat = rng.uniform(-2.2, -1.8, (300, len(units) + 1)).astype(np.float32)
+    post_ark = str(tmp_path / "post.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("u", mat)
+
+    def decode(tag, *extra):
+        lat_ark = str(tmp_path / ("lat_%s.ark" % tag))
+        proc = subprocess.run(
+            [os.path.join(FSTBIN, "latgen-faster"), "--acoustic-scale=1.0",
+             "--beam=14", "--lattice-beam=7", "--allow-partial=true",
+             *extra, str(lang / "TLG.fst"), "ark:" + post_ark,
+             "ark:" + lat_ark],
+            capture_output=True, text=True, check=True, cwd=REPO)
+        peak = int(proc.stderr.split("peak in-progress lattice states")[1]
+                   .strip(" )\n"))
+        tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+                   "ark:" + lat_ark, "ark,t:-"])
+        return peak, tra
+
+    _, tra_off = decode("off", "--prune-interval=0", "--max-mem=0")
+    _, tra_every = decode("every", "--prune-interval=1", "--max-mem=0")
+    assert tra_every == tra_off
+
+    # --max-active=0 → unlimited, decodes fine (was UB via nth_element)
+    _, tra_unl = decode("unl", "--max-active=0", "--prune-interval=0",
+                        "--max-mem=0")
+    assert tra_unl == tra_off
+
+    # min-active floor loosens a starving beam: more lattice states
+    # survive than with the floor disabled
+    peak_floor, _ = decode("floor", "--beam=0.6", "--min-active=60",
+                           "--prune-interval=0", "--max-mem=0")
+    peak_bare, _ = decode("bare", "--beam=0.6", "--min-active=1",
+                          "--prune-interval=0", "--max-mem=0")
+    assert peak_floor > peak_bare, (peak_floor, peak_bare)
