@@ -263,8 +263,12 @@ def _read_text_numbers_until(stream, terminator: str) -> List[List[float]]:
             rows[-1].append(float(tok[:-1]))
             break
         rows[-1].append(float(tok))
-        nxt = stream.peek(1)
-        if nxt == b"\n":
+        # row break = any run of spaces/CR ending in a newline (Kaldi
+        # emits "val val \n"; tolerate CRLF and extra trailing spaces —
+        # a strict single-'\n' peek silently merged all rows into one)
+        while stream.peek(1) in (b" ", b"\r"):
+            stream.read(1)
+        if stream.peek(1) == b"\n":
             stream.read(1)
             if rows[-1]:
                 rows.append([])
@@ -280,7 +284,12 @@ def read_matrix(stream, binary: bool) -> np.ndarray:
         if peeked == b"C":
             token = read_token(stream, binary, eat_trailing_space=False)
             stream.read(1)  # the space after CM/CM2
-            return read_compressed_matrix(stream, token)
+            try:
+                return read_compressed_matrix(stream, token)
+            except (struct.error, ValueError) as exc:
+                # keep the module's error contract so permissive ('p')
+                # readers can skip truncated/corrupt entries
+                raise KaldiIOError("bad compressed matrix: %s" % exc)
         token = read_token(stream, binary)
         if token == "FM":
             dtype, itemsize = np.dtype("<f4"), 4
@@ -293,8 +302,10 @@ def read_matrix(stream, binary: bool) -> np.ndarray:
         data = stream.read(itemsize * rows * cols)
         if len(data) != itemsize * rows * cols:
             raise KaldiIOError("short read in matrix payload")
-        # float64 (DM) payloads keep their precision (CMVN stats)
-        return np.frombuffer(data, dtype=dtype).reshape(rows, cols)
+        # float64 (DM) payloads keep their precision (CMVN stats);
+        # copy: frombuffer views are read-only, callers may mutate
+        arr = np.frombuffer(data, dtype=dtype).reshape(rows, cols)
+        return np.array(arr)
     # Text: optional leading spaces then '[' rows... ']'
     tok = read_token(stream, binary=False)
     if tok != "[":
@@ -347,7 +358,8 @@ def read_vector(stream, binary: bool) -> np.ndarray:
         data = stream.read(itemsize * size)
         if len(data) != itemsize * size:
             raise KaldiIOError("short read in vector payload")
-        return np.frombuffer(data, dtype=dtype).astype(np.float32, copy=False)
+        # copy: frombuffer views are read-only, callers may mutate
+        return np.frombuffer(data, dtype=dtype).astype(np.float32, copy=True)
     tok = read_token(stream, binary=False)
     if tok != "[":
         raise KaldiIOError("expected '[' starting text vector, got %r" % tok)

@@ -47,8 +47,10 @@ def _read_component(stream, binary: bool) -> Optional[Nnet1Component]:
         token = read_token(stream, binary)
     if token == "</Nnet>" or token == "":
         return None
-    input_dim = read_int32(stream, binary)
+    # Kaldi nnet1 Component::Write emits OutputDim() THEN InputDim()
+    # (reference pyKaldiIO/nnet_nnet1.py reads in that order too)
     output_dim = read_int32(stream, binary)
+    input_dim = read_int32(stream, binary)
     comp = Nnet1Component(token.strip("<>"), input_dim, output_dim)
     if token in _PARAMETRIC:
         # optional <Token> float parameters in arbitrary order

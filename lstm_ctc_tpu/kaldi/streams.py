@@ -89,7 +89,19 @@ class OutputStream:
     def write(self, data: bytes) -> None:
         if isinstance(data, str):
             data = data.encode("utf-8")
-        self._raw.write(data)
+        try:
+            self._raw.write(data)
+        except BrokenPipeError:
+            # the pipe consumer died mid-stream: reap it now and raise
+            # the module's error with the exit status instead of EPIPE
+            status = None
+            if self._process is not None:
+                status = self._process.wait()
+                self._process = None
+            raise KaldiIOError(
+                "output pipe %r closed early (broken pipe%s)"
+                % (self.name,
+                   "" if status is None else ", exit status %d" % status))
         self._offset += len(data)
 
     def tell(self) -> int:
@@ -99,17 +111,27 @@ class OutputStream:
         self._raw.flush()
 
     def close(self) -> None:
-        if self._raw not in (None, sys.stdout.buffer):
-            self._raw.close()
-        else:
-            self._raw.flush()
+        # a dead pipe consumer makes the final flush raise BrokenPipe;
+        # ALWAYS reap the child first so it is never left a zombie and
+        # the informative exit-status error wins over the raw EPIPE
+        flush_exc = None
+        try:
+            if self._raw not in (None, sys.stdout.buffer):
+                self._raw.close()
+            else:
+                self._raw.flush()
+        except BrokenPipeError as exc:
+            flush_exc = exc
         if self._process is not None:
             returncode = self._process.wait()
+            self._process = None
             if returncode != 0:
                 raise KaldiIOError(
                     "output pipe %r exited with status %d"
                     % (self.name, returncode))
-            self._process = None
+        if flush_exc is not None:
+            raise KaldiIOError(
+                "output pipe %r closed early (broken pipe)" % self.name)
 
 
 def open_input(rxfilename: str, bufsize: int = 1 << 16) -> InputStream:

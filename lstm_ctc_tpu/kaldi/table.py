@@ -181,7 +181,16 @@ class SequentialTableReader:
         pass
 
     def Close(self) -> bool:
+        # deterministically release the underlying stream: closing the
+        # generator runs its finally (stream.close()), so pipe fds and
+        # child processes are reaped NOW, and a nonzero pipe exit status
+        # surfaces here instead of being swallowed at GC time
+        closer = getattr(self._entries, "close", None)
         self._entries = iter(())
+        self._current = None
+        self._done = True
+        if closer is not None:
+            closer()
         return True
 
     close = Close
@@ -201,26 +210,52 @@ class SequentialTableReader:
 
 
 def _background_iter(source, depth: int = 4):
-    """Prefetch entries from ``source`` on a daemon thread."""
+    """Prefetch entries from ``source`` on a daemon thread.
+
+    An abandoned consumer (reader Close()/GC before exhaustion) sets the
+    stop event; the worker unblocks from its bounded queue, closes the
+    source generator (releasing its stream/pipe), and exits — instead of
+    blocking in q.put() for the process lifetime."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in source:
-                q.put(item)
-            q.put(sentinel)
+                if not put(item):
+                    break
+            else:
+                put(sentinel)
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(exc)
+            put(exc)
+        finally:
+            if stop.is_set():
+                try:
+                    source.close()
+                except BaseException:
+                    pass  # abandoned reader: best-effort release
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 # ---------------------------------------------------------------------------
@@ -372,12 +407,18 @@ class _RandomAccessScript(_RandomAccessImpl):
             return False
         if self.spec.permissive:
             try:
-                self.value(key)
+                # cache the probe so HasKey-then-Value reads once
+                self._probed = (key, _read_object_at(self._table[key],
+                                                     self.holder))
             except (OSError, KaldiIOError):
                 return False
         return True
 
     def value(self, key: str):
+        probed = getattr(self, "_probed", None)
+        if probed is not None and probed[0] == key:
+            self._probed = None
+            return probed[1]
         return _read_object_at(self._table[key], self.holder)
 
 
@@ -398,14 +439,16 @@ class TableWriter:
         self.holder = HOLDERS[holder_name]
         self._ark = None
         self._scp = None
+        if self.spec.kind == "scp":
+            # refuse BEFORE touching the filesystem — opening the scp
+            # first would truncate the caller's existing file
+            raise NotImplementedError(
+                "scp-only TableWriter (writing through an existing scp) is "
+                "not supported; use ark or ark,scp")
         if self.spec.kind in ("ark", "both"):
             self._ark = open_output(self.spec.archive_wxfilename)
         if self.spec.kind in ("scp", "both"):
             self._scp = open_output(self.spec.script_wxfilename)
-        if self.spec.kind == "scp":
-            raise NotImplementedError(
-                "scp-only TableWriter (writing through an existing scp) is "
-                "not supported; use ark or ark,scp")
 
     def Write(self, key: str, value) -> None:
         if not key or any(c.isspace() for c in key):

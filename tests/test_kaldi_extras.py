@@ -88,8 +88,8 @@ def test_nnet1_model_reader(tmp_path):
     out.write(b"\x00B")
     wtok(out, "<Nnet>")
     wtok(out, "<AffineTransform>")
-    wi32(out, 3)   # output_dim? Kaldi order: out then in — we store as read
-    wi32(out, 2)
+    wi32(out, 3)   # Kaldi wire order: output_dim first ...
+    wi32(out, 2)   # ... then input_dim
     wtok(out, "<LearnRateCoef>")
     out.write(b"\x04" + struct.pack("<f", 1.0))
     lin = np.arange(6, dtype=np.float32).reshape(3, 2)
@@ -109,6 +109,9 @@ def test_nnet1_model_reader(tmp_path):
     kind, params = model.dump_component(0)
     assert kind == "AffineTransform"
     np.testing.assert_array_equal(params[0], lin)
+    # dims land in the right fields (wire order is out, in)
+    assert model.components[0].output_dim == 3
+    assert model.components[0].input_dim == 2
     assert model.components[1].kind == "Sigmoid"
 
 

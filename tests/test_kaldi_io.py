@@ -273,3 +273,94 @@ def test_compressed_matrix_cm3_decode():
     assert binio.init_input_stream(stream)
     got = binio.read_matrix(stream, True)
     assert np.abs(got - mat).max() < value_range / 128.0
+
+
+def test_reader_close_reaps_pipe_and_surfaces_failure(tmp_path):
+    """Close() must release the underlying stream NOW — and a pipe whose
+    command failed must surface its exit status at Close, not be
+    swallowed at GC time."""
+    ark = str(tmp_path / "m.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + ark) as writer:
+        for i in range(3):
+            writer.Write("u%d" % i, np.ones((2, 2), np.float32) * i)
+    # healthy pipe, abandoned early: Close() succeeds and releases it
+    r = kaldi.SequentialBaseFloatMatrixReader("ark:cat %s |" % ark)
+    assert not r.Done()
+    assert r.Close()
+    # failing pipe: the nonzero exit status surfaces at Close
+    r = kaldi.SequentialBaseFloatMatrixReader(
+        "ark:cat %s; exit 3 |" % ark)
+    keys = []
+    with pytest.raises(kaldi.KaldiIOError):
+        while not r.Done():
+            keys.append(r.Key())
+            r.Next()
+        r.Close()
+    assert keys == ["u0", "u1", "u2"]
+
+
+def test_scp_only_writer_refuses_without_truncating(tmp_path):
+    scp = tmp_path / "existing.scp"
+    scp.write_text("key /some/path.ark:17\n")
+    with pytest.raises(NotImplementedError):
+        kaldi.BaseFloatMatrixWriter("scp:%s" % scp)
+    assert scp.read_text() == "key /some/path.ark:17\n"
+
+
+def test_text_matrix_tolerates_crlf_and_trailing_spaces():
+    text = b" [\r\n  1 2 \r\n  3 4  \r\n  5 6 ]\n"
+    stream = InputStream(io.BytesIO(text))
+    mat = binio.read_matrix(stream, binary=False)
+    np.testing.assert_array_equal(
+        mat, np.asarray([[1, 2], [3, 4], [5, 6]], np.float32))
+
+
+def test_truncated_compressed_matrix_is_kaldi_io_error(tmp_path):
+    """CM decode failures must keep the KaldiIOError contract so
+    permissive ('p') readers can skip them like FM truncations."""
+    buf = io.BytesIO()
+    out = OutputStream(buf)
+    binio.write_matrix(out, True, np.random.RandomState(0)
+                       .randn(6, 5).astype(np.float32), compress=True)
+    out.flush()
+    data = buf.getvalue()
+    stream = InputStream(io.BytesIO(data[: len(data) // 2]))
+    with pytest.raises(kaldi.KaldiIOError):
+        binio.read_matrix(stream, binary=True)
+
+
+def test_read_matrix_and_vector_are_writable(tmp_path):
+    ark = str(tmp_path / "w.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + ark) as writer:
+        writer.Write("u", np.ones((3, 4), np.float32))
+    reader = kaldi.SequentialBaseFloatMatrixReader("ark:" + ark)
+    mat = reader.Value()
+    mat -= 0.5          # in-place normalization, the reference idiom
+    assert float(mat[0, 0]) == 0.5
+    reader.Close()
+
+
+def test_output_pipe_broken_early_raises_and_reaps(tmp_path):
+    out = kaldi.Output("| head -c 4 > %s" % (tmp_path / "sink"), True)
+    stream = out.Stream()
+    with pytest.raises(kaldi.KaldiIOError):
+        for _ in range(200000):
+            stream.write(b"xxxxxxxxxxxxxxxx")
+        out.Close()
+
+
+def test_random_access_permissive_haskey_value_cache(tmp_path):
+    ark = str(tmp_path / "ra.ark")
+    scp = str(tmp_path / "ra.scp")
+    mats = {"a": np.full((2, 2), 1.0, np.float32),
+            "b": np.full((2, 2), 2.0, np.float32)}
+    with kaldi.BaseFloatMatrixWriter("ark,scp:%s,%s" % (ark, scp)) as w:
+        for k, m in sorted(mats.items()):
+            w.Write(k, m)
+    r = kaldi.RandomAccessBaseFloatMatrixReader("scp,p:" + scp)
+    # interleaved HasKey/Value stays correct (the probe cache is keyed)
+    assert r.HasKey("a")
+    np.testing.assert_array_equal(r.Value("b"), mats["b"])
+    np.testing.assert_array_equal(r.Value("a"), mats["a"])
+    assert not r.HasKey("missing")
+    np.testing.assert_array_equal(r.Value("a"), mats["a"])
