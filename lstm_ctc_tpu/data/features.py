@@ -88,8 +88,11 @@ def extract_frames(wave: np.ndarray,
                    remove_dc_offset: bool = True,
                    window_type: str = "povey",
                    snip_edges: bool = True,
-                   seed: Optional[int] = None) -> np.ndarray:
-    """wave [num_samples] → windowed frames [num_frames, frame_length]."""
+                   seed: Optional[int] = None,
+                   return_raw_energy: bool = False):
+    """wave [num_samples] → windowed frames [num_frames, frame_length]
+    (optionally plus the Kaldi raw_energy=true per-frame log energy —
+    measured before preemphasis/windowing)."""
     wave = np.asarray(wave, np.float64)
     frame_length = int(sample_freq * frame_length_ms / 1000.0)
     frame_shift = int(sample_freq * frame_shift_ms / 1000.0)
@@ -118,12 +121,18 @@ def extract_frames(wave: np.ndarray,
         frames = frames + dither * rng.randn(*frames.shape)
     if remove_dc_offset:
         frames = frames - frames.mean(axis=1, keepdims=True)
+    # Kaldi raw_energy=true measures energy HERE — after dither/DC
+    # removal, before preemphasis and windowing
+    raw_log_energy = np.log(np.maximum(
+        (frames ** 2).sum(axis=1), np.finfo(np.float64).eps))
     if preemph_coeff != 0.0:
         pre = np.empty_like(frames)
         pre[:, 1:] = frames[:, 1:] - preemph_coeff * frames[:, :-1]
         pre[:, 0] = frames[:, 0] * (1.0 - preemph_coeff)
         frames = pre
     frames = frames * feature_window(frame_length, window_type)
+    if return_raw_energy:
+        return frames.astype(np.float32), raw_log_energy
     return frames.astype(np.float32)
 
 
@@ -138,20 +147,27 @@ def compute_fbank(wave: np.ndarray,
                   low_freq: float = 20.0,
                   high_freq: float = 0.0,
                   use_energy: bool = False,
+                  raw_energy: bool = True,
                   use_log_fbank: bool = True,
                   snip_edges: bool = True,
                   seed: Optional[int] = None) -> np.ndarray:
-    """→ [num_frames, num_mel_bins(+1 with energy)] log-mel features."""
-    frames = extract_frames(
+    """→ [num_frames, num_mel_bins(+1 with energy)] log-mel features.
+    ``raw_energy`` (Kaldi default true): energy measured before
+    preemphasis/windowing; false = energy of the processed frame."""
+    frames, pre_energy = extract_frames(
         wave, sample_freq, frame_length_ms, frame_shift_ms, dither,
-        preemph_coeff, True, window_type, snip_edges, seed)
+        preemph_coeff, True, window_type, snip_edges, seed,
+        return_raw_energy=True)
     if frames.shape[0] == 0:
         return np.zeros((0, num_mel_bins + (1 if use_energy else 0)),
                         np.float32)
     if use_energy:
-        raw_energy = np.log(np.maximum(
-            (frames.astype(np.float64) ** 2).sum(axis=1),
-            np.finfo(np.float64).eps))
+        if raw_energy:
+            log_energy = pre_energy
+        else:
+            log_energy = np.log(np.maximum(
+                (frames.astype(np.float64) ** 2).sum(axis=1),
+                np.finfo(np.float64).eps))
     fft_size = _next_pow2(frames.shape[1])
     spectrum = np.fft.rfft(frames, n=fft_size, axis=1)
     power = (spectrum.real ** 2 + spectrum.imag ** 2)
@@ -164,7 +180,7 @@ def compute_fbank(wave: np.ndarray,
     feats = mel_energies.astype(np.float32)
     if use_energy:
         feats = np.concatenate(
-            [raw_energy[:, None].astype(np.float32), feats], axis=1)
+            [log_energy[:, None].astype(np.float32), feats], axis=1)
     return feats
 
 
@@ -183,13 +199,23 @@ def compute_mfcc(wave: np.ndarray,
                  num_mel_bins: int = 23,
                  num_ceps: int = 13,
                  cepstral_lifter: float = 22.0,
+                 use_energy: bool = True,
                  **kwargs) -> np.ndarray:
+    """Kaldi compute-mfcc-feats semantics: the DCT runs over the mel
+    bins only; with use_energy (the Kaldi default) C0 is REPLACED by the
+    log energy (previously the energy column was fed into the DCT,
+    which crashed on a shape mismatch)."""
     fbank = compute_fbank(wave, sample_freq=sample_freq,
                           num_mel_bins=num_mel_bins, use_log_fbank=True,
-                          **kwargs)
+                          use_energy=use_energy, **kwargs)
     if fbank.shape[0] == 0:
         return np.zeros((0, num_ceps), np.float32)
+    energy = None
+    if use_energy:
+        energy, fbank = fbank[:, 0], fbank[:, 1:]
     ceps = fbank @ dct_matrix(num_ceps, num_mel_bins).T
+    if energy is not None:
+        ceps[:, 0] = energy
     if cepstral_lifter != 0.0:
         k = np.arange(num_ceps)
         lifter = 1.0 + 0.5 * cepstral_lifter * np.sin(

@@ -252,7 +252,6 @@ class BucketedBatcher:
         # targets/tgt_len/utt_* live at that slot; "" for dummy slots)
         # so consumers can zip keys with the per-utterance arrays
         keys: List[str] = [""] * num_slots
-        native = hasattr(loader, "load_row")
         arange_t = np.arange(t_row, dtype=np.int32)
         for row, members in enumerate(rows):
             # longest-first establishes the rank-tier width guarantee
@@ -262,24 +261,11 @@ class BucketedBatcher:
                 slot = rank * batch_b + row
                 meta = self.metas[idx]
                 want = self._lengths[idx]
-                if native:
-                    t_len, label_len = loader.load_row(
-                        meta, self.left_context, self.right_context,
-                        self.subsample, feats[row, offset:offset + want],
-                        targets[slot])
-                    tgt_len[slot] = label_len
-                    keys[slot] = meta.key
-                else:
-                    key, mat, labels = loader.load(meta)
-                    mat = splice_frames(mat, self.left_context,
-                                        self.right_context)
-                    mat = subsample_frames(mat, self.subsample)
-                    t_len = mat.shape[0]
-                    feats[row, offset:offset + t_len] = mat
-                    if labels is not None and len(labels):
-                        targets[slot, :len(labels)] = labels
-                        tgt_len[slot] = len(labels)
-                    keys[slot] = key
+                t_len, label_len, key = self._load_into(
+                    loader, meta, feats[row, offset:offset + want],
+                    targets[slot])
+                tgt_len[slot] = label_len
+                keys[slot] = key
                 assert t_len * (rank + 1) <= t_row, \
                     "rank-%d utterance %s too long for its tier" \
                     % (rank, meta.key)
@@ -292,6 +278,31 @@ class BucketedBatcher:
         return Batch(feats, seq_len, targets, tgt_len, keys,
                      reset_mask=reset, utt_time_index=utt_idx,
                      utt_sequence_length=utt_seq)
+
+
+    def _load_into(self, loader, meta, feats_view, targets_row):
+        """Load one utterance into the provided views; returns
+        (t_len, label_len, key).  Shared by the packed and unpacked
+        assemblers.  The numpy-path label write CLAMPS to the target
+        row's width — matching the native loader (record_loader.cc) —
+        so a labeled utterance longer than the label pad cannot
+        overflow the buffer (label widths are only guaranteed when the
+        batcher was built with label_lengths)."""
+        if hasattr(loader, "load_row"):
+            t_len, label_len = loader.load_row(
+                meta, self.left_context, self.right_context,
+                self.subsample, feats_view, targets_row)
+            return t_len, label_len, meta.key
+        key, mat, labels = loader.load(meta)
+        mat = splice_frames(mat, self.left_context, self.right_context)
+        mat = subsample_frames(mat, self.subsample)
+        t_len = mat.shape[0]
+        feats_view[:t_len] = mat
+        label_len = 0
+        if labels is not None and len(labels):
+            label_len = min(len(labels), targets_row.shape[0])
+            targets_row[:label_len] = labels[:label_len]
+        return t_len, label_len, key
 
     def assemble(self, bucket_idx: int, indices: List[int],
                  loader) -> Batch:
@@ -309,26 +320,12 @@ class BucketedBatcher:
         targets = np.full((batch_b, u_pad), -1, dtype=np.int32)
         tgt_len = np.zeros((batch_b,), dtype=np.int32)
         keys = []
-        native = hasattr(loader, "load_row")
         for row, idx in enumerate(indices):
             meta = self.metas[idx]
-            if native:
-                t_len, label_len = loader.load_row(
-                    meta, self.left_context, self.right_context,
-                    self.subsample, feats[row], targets[row])
-                seq_len[row] = t_len
-                tgt_len[row] = label_len
-                keys.append(meta.key)
-                continue
-            key, mat, labels = loader.load(meta)
-            mat = splice_frames(mat, self.left_context, self.right_context)
-            mat = subsample_frames(mat, self.subsample)
-            t_len = mat.shape[0]
-            feats[row, :t_len] = mat
+            t_len, label_len, key = self._load_into(
+                loader, meta, feats[row], targets[row])
             seq_len[row] = t_len
-            if labels is not None and len(labels):
-                targets[row, :len(labels)] = labels
-                tgt_len[row] = len(labels)
+            tgt_len[row] = label_len
             keys.append(key)
         return Batch(feats, seq_len, targets, tgt_len, keys)
 
@@ -345,16 +342,34 @@ def iterate_batches(batcher: BucketedBatcher,
     else:
         loader = RecordLoader()
 
-    def produce(q: "queue.Queue"):
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
         try:
             for bucket_idx, indices in plan:
-                q.put(batcher.assemble(bucket_idx, indices, loader))
-            q.put(None)
+                if not put(batcher.assemble(bucket_idx, indices, loader)):
+                    return
+            put(None)
         except BaseException as exc:
-            q.put(exc)
+            put(exc)
+        finally:
+            # the PRODUCER owns the loader: closing it from the consumer
+            # while an assemble is in flight is a use-after-free with
+            # the native loader (rl_close runs fclose+delete under an
+            # in-flight rl_load_row)
+            loader.close()
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    threading.Thread(target=produce, args=(q,), daemon=True).start()
+    threading.Thread(target=produce, daemon=True).start()
     try:
         while True:
             item = q.get()
@@ -364,7 +379,9 @@ def iterate_batches(batcher: BucketedBatcher,
                 raise item
             yield item
     finally:
-        loader.close()
+        # abandonment (early generator exit): signal the producer; it
+        # finishes its in-flight assemble, then closes the loader itself
+        stop.set()
 
 
 def iterate_utterances(metas: Sequence[RecordMeta],

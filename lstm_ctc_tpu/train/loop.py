@@ -127,6 +127,14 @@ def run_validation_epoch(eval_step: Callable,
             hyps = greedy_decode(np.asarray(logits),
                                  np.asarray(batch.sequence_length))
             refs = dense_targets_to_lists(batch.nnet_target)
+            if len(hyps) != len(refs):
+                # packed batches have B row-level hypotheses but
+                # B·pack_factor per-utterance references — mispairing
+                # them would produce a silently wrong cv_eval
+                raise ValueError(
+                    "evaluate=True needs unpacked batches (got %d "
+                    "hypotheses vs %d references; run CV with "
+                    "pack_factor=1)" % (len(hyps), len(refs)))
             dist = float(edit_distance_batch(hyps, refs))
         else:
             metrics = eval_step(params, net_state, device_batch)

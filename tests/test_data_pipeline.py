@@ -175,3 +175,61 @@ def test_native_loader_matches_python(tmp_path, monkeypatch):
         np.testing.assert_array_equal(nt, pt)
         np.testing.assert_array_equal(nl, pl)
         assert nk == pk
+
+
+def test_long_labels_without_label_lengths_clamp_not_crash(tmp_path):
+    """build_batcher(need_labels=False) leaves label_lengths unset, so
+    buckets get the minimum label pad; a labeled utterance longer than
+    the pad must CLAMP (the native loader's behavior) instead of
+    crashing the numpy path with a broadcast error."""
+    rng = np.random.RandomState(7)
+    shard = str(tmp_path / "d.rec")
+    scp = str(tmp_path / "d.scp")
+    with RecordShardWriter(shard) as writer, open(scp, "w") as scp_fh:
+        feats = rng.randn(120, 4).astype(np.float32)
+        labels = rng.randint(0, 5, 30).astype(np.int32)  # > 16-label pad
+        scp_fh.write(writer.write("u0", feats, labels).scp_line())
+    metas = scan_scp(scp)
+    batcher = BucketedBatcher(metas, batch_size=1)   # label_lengths=None
+    assert batcher.buckets[0].label_steps == 16
+    batch = batcher.assemble(0, [0], RecordLoader())
+    assert int(batch.target_length[0]) == 16          # clamped
+    assert (batch.nnet_target[0, :16] >= 0).all()
+    # packed mode clamps identically
+    packed = BucketedBatcher(metas, batch_size=1, pack_factor=2)
+    b = packed.assemble(-1, [[0]], RecordLoader())
+    assert int(b.target_length[0]) == packed.row_label
+
+
+def test_validation_evaluate_rejects_packed_batches(tmp_path):
+    """cv_eval over packed batches would mispair row-hypotheses with
+    per-utterance references; the loop must refuse loudly."""
+    from lstm_ctc_tpu.train.loop import run_validation_epoch
+
+    class FakeBatch:
+        pass
+
+    shard = str(tmp_path / "p.rec")
+    scp = str(tmp_path / "p.scp")
+    rng = np.random.RandomState(0)
+    with RecordShardWriter(shard) as writer, open(scp, "w") as scp_fh:
+        for i in range(4):
+            feats = rng.randn(30, 4).astype(np.float32)
+            labels = rng.randint(0, 5, 3).astype(np.int32)
+            scp_fh.write(writer.write("u%d" % i, feats, labels)
+                         .scp_line())
+    metas = scan_scp(scp)
+    batcher = BucketedBatcher(metas, batch_size=2, pack_factor=2,
+                              label_lengths=scan_label_lengths(metas))
+    batch = next(iter(iterate_batches(batcher)))
+    n_slots = batch.nnet_target.shape[0]
+    assert n_slots > batch.nnet_input.shape[0]
+
+    def fake_eval_step(params, net_state, device_batch):
+        logits = np.zeros((batch.nnet_input.shape[0],
+                           batch.nnet_input.shape[1], 6), np.float32)
+        return {"size": batch.size, "eval_loss": 1.0}, logits
+
+    with pytest.raises(ValueError, match="unpacked"):
+        run_validation_epoch(fake_eval_step, None, None, [batch],
+                             shard_fn=lambda b: b, evaluate=True)

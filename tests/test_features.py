@@ -179,3 +179,32 @@ def test_subtract_log_prior_suppresses_unseen_classes(tmp_path):
     # seen classes get the ordinary subtraction
     np.testing.assert_allclose(out[:, 0], log_post[:, 0] - prior[0],
                                atol=1e-5)
+
+
+def test_mfcc_use_energy_kaldi_semantics():
+    """use_energy=True (the Kaldi default): DCT runs over the mel bins
+    and C0 is REPLACED by the log energy (this crashed with a matmul
+    shape mismatch before)."""
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(16000) * 1000).astype(np.float32)
+    with_e = compute_mfcc(wave, use_energy=True, dither=0.0)
+    without = compute_mfcc(wave, use_energy=False, dither=0.0)
+    assert with_e.shape == without.shape == (with_e.shape[0], 13)
+    # all higher cepstra identical; only C0 differs (energy vs DCT-C0)
+    np.testing.assert_allclose(with_e[:, 1:], without[:, 1:], rtol=1e-5)
+    assert not np.allclose(with_e[:, 0], without[:, 0])
+
+
+def test_fbank_raw_energy_is_pre_window():
+    """raw_energy=True (Kaldi default) measures the frame energy before
+    preemphasis/windowing — systematically larger than the processed-
+    frame energy (the window attenuates edges, preemphasis removes
+    low-frequency power)."""
+    rng = np.random.RandomState(1)
+    wave = (rng.randn(8000) * 1000).astype(np.float32)
+    raw = compute_fbank(wave, use_energy=True, raw_energy=True,
+                                 dither=0.0)
+    proc = compute_fbank(wave, use_energy=True,
+                                  raw_energy=False, dither=0.0)
+    np.testing.assert_allclose(raw[:, 1:], proc[:, 1:], rtol=1e-5)
+    assert np.all(raw[:, 0] > proc[:, 0])
