@@ -122,7 +122,9 @@ def _fused_lstm_mode(config, batch):
     impl = os.environ.get("LSTM_CTC_TPU_LSTM_IMPL", "auto")
     if impl == "scan":
         return None
-    if impl != "pallas" and jax.default_backend() == "cpu":
+    if impl != "pallas" and jax.default_backend() not in ("tpu", "axon"):
+        # positive TPU check: the Mosaic kernels lower only on TPU;
+        # CPU/GPU keep the XLA scan unless explicitly forced
         return None
     mesh = config.get("mesh")
     if mesh is not None and mesh.devices.size > 1:

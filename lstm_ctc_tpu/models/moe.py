@@ -31,7 +31,9 @@ def _use_fused() -> bool:
     if impl == "fused":
         return True
     try:
-        return jax.default_backend() not in ("cpu",)
+        # positive TPU check (this repo's remote TPU registers as
+        # "axon"); other accelerators get the portable XLA path
+        return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
 

@@ -62,7 +62,10 @@ def _use_pallas() -> bool:
     if impl == "pallas":
         return True
     try:
-        return jax.default_backend() not in ("cpu",)
+        # positive TPU check: the pltpu kernels lower only on TPU
+        # backends (this repo's remote TPU registers as "axon"); any
+        # other accelerator gets the portable scan
+        return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
 
@@ -181,7 +184,8 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
         & (sequence_length > 0) & (log_lik > NEG_INF * 0.5)
     loss = jnp.where(feasible, -log_lik, 0.0)
     residuals = (log_probs, lp_ext, alpha_all, log_lik, feasible,
-                 ext, valid, can_skip, sequence_length, label_length)
+                 ext, valid, can_skip, sequence_length, label_length,
+                 jnp.zeros((0,), logits.dtype))   # primal-dtype sentinel
     return loss, residuals
 
 
@@ -189,7 +193,8 @@ def _backward(residuals, grad_loss):
     """Analytic gradient: softmax - occupancy, scaled per-row by the
     upstream cotangent of each sequence's loss."""
     (log_probs, lp_ext, alpha_all, log_lik, feasible,
-     ext, valid, can_skip, sequence_length, label_length) = residuals
+     ext, valid, can_skip, sequence_length, label_length,
+     dtype_sentinel) = residuals
     max_t, batch, ext_len = lp_ext.shape
     num_classes = log_probs.shape[2]
 
@@ -258,7 +263,8 @@ def _backward(residuals, grad_loss):
     grad = grad * time_mask.T[:, :, None]
     grad = grad * feasible[:, None, None]
     grad = grad * grad_loss[:, None, None]
-    return grad.astype(jnp.float32)
+    # cotangent dtype must match the primal (custom_vjp aval check)
+    return grad.astype(dtype_sentinel.dtype)
 
 
 @jax.custom_vjp
@@ -293,5 +299,16 @@ def ctc_loss(logits: jnp.ndarray,
         blank_id = num_classes - 1
     if label_length is None:
         label_length = jnp.sum((labels >= 0).astype(jnp.int32), axis=1)
+    if labels.shape[1] == 0:
+        # a zero-column label matrix (every reference empty) would give
+        # the DP a width-1 lattice the scan carries cannot shift over;
+        # the only path is all-blank — loss = −Σ_t log P(blank)
+        log_probs = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=2)
+        t_idx = jnp.arange(logits.shape[1])
+        mask = t_idx[None, :] < sequence_length[:, None]
+        return -jnp.sum(
+            jnp.where(mask, log_probs[:, :, blank_id], 0.0),
+            axis=1).astype(logits.dtype)
     return _ctc_core(logits, sequence_length, labels, label_length,
                      blank_id)

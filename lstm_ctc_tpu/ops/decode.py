@@ -51,10 +51,11 @@ def edit_distance(hyp: Sequence[int], ref: Sequence[int]) -> int:
     if not hyp:
         return len(ref)
     prev = np.arange(len(ref) + 1, dtype=np.int64)
+    ref_arr = np.asarray(ref)
     for i, h in enumerate(hyp, start=1):
         cur = np.empty_like(prev)
         cur[0] = i
-        sub = prev[:-1] + (np.asarray(ref) != h)
+        sub = prev[:-1] + (ref_arr != h)
         for j in range(1, len(ref) + 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
         prev = cur
@@ -64,6 +65,9 @@ def edit_distance(hyp: Sequence[int], ref: Sequence[int]) -> int:
 def edit_distance_batch(hyps: Sequence[Sequence[int]],
                         refs: Sequence[Sequence[int]]) -> int:
     """Summed, unnormalized distances (reference graph.py:143-150)."""
+    if len(hyps) != len(refs):
+        raise ValueError("hyps/refs length mismatch: %d vs %d"
+                         % (len(hyps), len(refs)))
     return sum(edit_distance(h, r) for h, r in zip(hyps, refs))
 
 

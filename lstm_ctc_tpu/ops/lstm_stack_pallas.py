@@ -50,11 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lstm_pallas import _kernel_unroll
-
-
-def _sigmoid(x):
-    return jax.nn.sigmoid(x)
+from .lstm_pallas import _kernel_unroll, _pad_time, _sigmoid
 
 
 def _auto_time_block(num_layers, batch):
@@ -392,14 +388,6 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
     return kernel
 
 
-def _pad_time(x, padded_t):
-    pad = padded_t - x.shape[0]
-    if pad == 0:
-        return x
-    return jnp.concatenate(
-        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-
-
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 forget_bias, use_peep, use_proj, residual, cdt_name,
@@ -578,10 +566,12 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
 
 
 def stack_eligible(params_list):
-    """The wavefront kernel applies when the stack is uniform beyond
-    layer 0 and there is no inter-layer dropout/BN in effect (callers
-    check those).  Layer-0 residual (input_dim == output_dim) would need
-    the raw input streamed in — fall back instead (rare config)."""
+    """The wavefront kernel applies when the stack is UNIFORM (same
+    units / projection / peephole structure on every layer — the kernel
+    derives its static shapes from layer 0, so a mixed stack would
+    silently drop upper-layer peepholes or misalign the packed wz
+    slices) and there is no layer-0 residual (input_dim == output_dim
+    would need the raw input streamed in — fall back instead)."""
     if len(params_list) < 2:
         return False
     p0 = params_list[0]
@@ -589,8 +579,17 @@ def stack_eligible(params_list):
         p0["bias"].shape[0] // 4
     if p0["wx"].shape[0] == out_dim:
         return False   # layer-0 residual active → raw input needed
+    units0 = p0["bias"].shape[0]
+    proj0 = "proj" in p0
+    peep0 = "w_i_diag" in p0
     for p in params_list[1:]:
         if p["wx"].shape[0] != out_dim:
+            return False
+        if p["bias"].shape[0] != units0:
+            return False
+        if ("proj" in p) != proj0 or ("w_i_diag" in p) != peep0:
+            return False
+        if proj0 and p["proj"].shape != p0["proj"].shape:
             return False
     return True
 

@@ -67,21 +67,26 @@ def fill_blank_path(labels: Sequence[int], num_frames: int,
     ``num_frames`` frames: labels spread evenly, blanks filling the gaps
     (reference nnet/utils.py:119-140 intent).  Raises if infeasible."""
     num_labels = len(labels)
-    if num_labels > num_frames:
-        raise ValueError("cannot fit %d labels into %d frames"
-                         % (num_labels, num_frames))
+    # CTC feasibility: a repeated label needs a separating blank, so the
+    # minimal path length is U plus the number of adjacent repeats
+    repeats = sum(1 for i in range(1, num_labels)
+                  if labels[i] == labels[i - 1])
+    if num_labels + repeats > num_frames:
+        raise ValueError(
+            "cannot fit %d labels (%d adjacent repeats) into %d frames"
+            % (num_labels, repeats, num_frames))
     path = [blank_id] * num_frames
     if num_labels == 0:
         return path
-    # place label i at the center of its even slice
+    # minimal positions: gap 1 between distinct labels, 2 across repeats
+    pos = []
+    cur = 0
     for i, lab in enumerate(labels):
-        pos = (2 * i + 1) * num_frames // (2 * num_labels)
-        path[pos] = lab
-    # repeated labels that landed adjacent need a blank separator; even
-    # placement guarantees ≥1 frame per label, and identical neighbors are
-    # only adjacent when slices are width-1 — detect and shift if possible
-    for i in range(1, num_frames):
-        if path[i] != blank_id and path[i] == path[i - 1]:
-            raise ValueError("repeated labels need separating blanks; "
-                             "too few frames")
+        if i > 0:
+            cur += 2 if lab == labels[i - 1] else 1
+        pos.append(cur)
+    # spread the slack evenly (a non-decreasing offset preserves gaps)
+    slack = (num_frames - 1) - pos[-1]
+    for i, lab in enumerate(labels):
+        path[pos[i] + slack * (i + 1) // (num_labels + 1)] = lab
     return path

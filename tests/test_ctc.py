@@ -173,3 +173,67 @@ def test_beam_search_sums_paths():
     hyp = beam_search_decode(log_probs, beam_width=4, blank_id=1)[0]
     # P([0]) = 0.4*0.6 + 0.6*0.4 + 0.4*0.4 = 0.64 > P([]) = 0.36
     assert hyp == [0]
+
+
+def test_ctc_loss_empty_label_batch():
+    """A zero-column label matrix (every reference empty) is the
+    all-blank path: loss = -sum_t log P(blank); grads flow."""
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 6, 5), jnp.float32)
+    seq_len = jnp.asarray([6, 4], jnp.int32)
+    labels = jnp.zeros((2, 0), jnp.int32)
+    loss = ctc_loss(logits, seq_len, labels)
+    lp = jax.nn.log_softmax(np.asarray(logits), axis=2)
+    want0 = -lp[0, :6, 4].sum()
+    want1 = -lp[1, :4, 4].sum()
+    np.testing.assert_allclose(np.asarray(loss), [want0, want1],
+                               rtol=1e-5)
+    g = jax.grad(lambda lg: ctc_loss(lg, seq_len, labels).sum())(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ctc_grad_dtype_matches_primal():
+    """grad(ctc_loss) must return the primal dtype (custom_vjp aval
+    check fails otherwise) — exercised with bf16 logits."""
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 8, 5), jnp.bfloat16)
+    seq_len = jnp.asarray([8, 6], jnp.int32)
+    labels = jnp.asarray([[1, 2, -1], [0, -1, -1]], jnp.int32)
+
+    def loss_fn(lg):
+        return ctc_loss(lg.astype(jnp.bfloat16), seq_len, labels) \
+            .astype(jnp.float32).sum()
+
+    g = jax.grad(lambda lg: loss_fn(lg))(logits.astype(jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fill_blank_path_handles_repeats():
+    from lstm_ctc_tpu.ops.nbest import fill_blank_path
+
+    def collapse(path, blank):
+        out = []
+        prev = blank
+        for p in path:
+            if p != blank and p != prev:
+                out.append(p)
+            prev = p
+        return out
+
+    # the review's repro: [1,2,2] fits 4 frames as e.g. [1,2,0,2]
+    path = fill_blank_path([1, 2, 2], 4, blank_id=0)
+    assert len(path) == 4
+    assert collapse(path, 0) == [1, 2, 2]
+    # many shapes round-trip through CTC collapse
+    rng = np.random.RandomState(2)
+    for _ in range(50):
+        u = rng.randint(1, 8)
+        labs = list(rng.randint(1, 4, u))
+        repeats = sum(1 for i in range(1, u) if labs[i] == labs[i - 1])
+        frames = u + repeats + rng.randint(0, 6)
+        path = fill_blank_path(labs, frames, blank_id=0)
+        assert len(path) == frames
+        assert collapse(path, 0) == labs
+    # infeasible still raises
+    with pytest.raises(ValueError):
+        fill_blank_path([1, 1, 1], 4, blank_id=0)
