@@ -41,7 +41,7 @@ def main(args):
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             need_labels=False)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
 
     @jax.jit

@@ -66,10 +66,13 @@ def main(args):
         writer = kaldi.BaseFloatMatrixWriter(args.nnet_output)
         processed = 0
         metas = scan_scp(args.tfrecords_scp)
+        # ONE session for the whole archive: its jitted chunk step
+        # compiles once; reset() clears per-utterance state between keys
+        session = StreamingSession(params, net_state, config,
+                                   chunk_size=args.chunk_frames)
         for key, raw, _ in iterate_utterances(metas):
             # session consumes RAW frames (it does splice/subsample itself)
-            session = StreamingSession(params, net_state, config,
-                                       chunk_size=args.chunk_frames)
+            session.reset()
             logits = session.process(raw, flush=True)
             out = logits
             if args.apply_softmax:
@@ -92,7 +95,7 @@ def main(args):
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             need_labels=False)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
 
     @jax.jit

@@ -37,7 +37,7 @@ def main(args):
     params, net_state = init_from_config(config)
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     eval_step = make_eval_step(config, with_logits=args.evaluate)
 

@@ -96,7 +96,7 @@ def main(args):
     cv_config = dict(config)
     cv_batcher = build_batcher(args.cv_tfrecords_scp, cv_config,
                                args.batch_size)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh
     cv_config["mesh"] = mesh
     eval_step = make_eval_step(cv_config, with_logits=True)

@@ -44,7 +44,7 @@ def main(args):
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             pack_factor=args.pack_factor)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     init_opt, train_step = make_train_step(
         config,

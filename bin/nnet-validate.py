@@ -36,7 +36,7 @@ def main(args):
         args.nnet_in, template_params, template_state)
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size)
-    shard_fn, mesh = make_shard_fn(args.batch_size)
+    shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     eval_step = make_eval_step(config, with_logits=args.evaluate)
 

@@ -22,14 +22,19 @@ if os.environ.get("JAX_PLATFORMS"):
 # remote-compile TPU plugin active produce CPU AOT blobs targeting the
 # *server's* machine features, which SIGILL if a pure-CPU run later loads
 # them (the cache key does not cover host CPU features).
-_cache_tag = os.environ.get("JAX_PLATFORMS") \
-    or ("plugin" if os.environ.get("PALLAS_AXON_POOL_IPS") else "default")
+_cache_tag = os.environ.get("JAX_PLATFORMS") or "default"
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    # keep the plugin marker even when a platform is forced: the plugin
+    # produces AOT blobs targeting the SERVER's machine features, which
+    # must never share a directory with pure-host runs (SIGILL)
+    _cache_tag += "-plugin"
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR",
                    os.path.expanduser("~/.cache/lstm_ctc_tpu/jax-cache-"
                                       + _cache_tag.replace(",", "-"))))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from . import logging_util as log
 from .data import BucketedBatcher, scan_label_lengths, scan_scp
@@ -70,9 +75,10 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
     )
 
 
-def make_shard_fn(batch_size: int):
-    """Returns (shard_fn, mesh).  Batches shard across the data mesh when
-    the batch size divides evenly; otherwise they are replicated."""
+def make_shard_fn():
+    """Returns (shard_fn, mesh).  The shard/replicate decision is made
+    per array in parallel.shard_batch (batches shard across the data
+    mesh when the leading axis divides it; otherwise replicated)."""
     mesh = get_mesh()
 
     def shard_fn(batch):
@@ -125,11 +131,17 @@ _TRANSIENT_BACKEND_MARKERS = (
 
 
 def is_transient_backend_error(exc: BaseException) -> bool:
-    if not type(exc).__name__.endswith(
-            ("JaxRuntimeError", "XlaRuntimeError")):
-        return False
     msg = str(exc)
-    return any(marker in msg for marker in _TRANSIENT_BACKEND_MARKERS)
+    if type(exc).__name__.endswith(("JaxRuntimeError",
+                                    "XlaRuntimeError")):
+        return any(m in msg for m in _TRANSIENT_BACKEND_MARKERS)
+    # backend INITIALIZATION failures are raised by jax as plain
+    # RuntimeError ("Unable to initialize backend 'axon': UNAVAILABLE
+    # ..."), the exact signature of the remote service being down —
+    # the outage mode retries exist for (observed 2026-08-17)
+    if isinstance(exc, RuntimeError)             and "Unable to initialize backend" in msg:
+        return any(m in msg for m in _TRANSIENT_BACKEND_MARKERS)
+    return False
 
 
 # Set once a CLI has emitted externally-visible output (a record written
@@ -199,7 +211,7 @@ def run_with_backend_retry(fn, *, what: str = "job"):
                 "transient backend error during %s (attempt %d/%d, "
                 "retrying in %.0fs): %s"
                 % (what, attempt, retries, delay,
-                   str(exc).splitlines()[0][:300]))
+                   (str(exc).splitlines() or [""])[0][:300]))
             time.sleep(delay)
             # a FAILED_PRECONDITION often means the in-process runtime
             # client is poisoned (e.g. the chip was held by another
@@ -211,5 +223,6 @@ def run_with_backend_retry(fn, *, what: str = "job"):
                 import jax.extend.backend
                 jax.extend.backend.clear_backends()
             except Exception as reset_exc:  # pragma: no cover
-                log.warning("backend reset failed (continuing): %s"
-                            % (str(reset_exc).splitlines()[0][:200]))
+                log.warning(
+                    "backend reset failed (continuing): %s"
+                    % (str(reset_exc).splitlines() or [""])[0][:200])

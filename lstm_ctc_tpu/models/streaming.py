@@ -53,6 +53,14 @@ class StreamingSession:
         self._states: Optional[List[Tuple]] = None
         self._jit_fn = jax.jit(self._model_chunk)
 
+    def reset(self) -> None:
+        """Clear per-utterance state, KEEPING the compiled chunk step —
+        one session serves a whole archive (a fresh session per
+        utterance would retrace + reload the executable every time)."""
+        self._raw_buffer = None
+        self._next_raw = 0
+        self._states = None
+
     # --- jitted model step over one fixed-size (padded) chunk ---
     def _model_chunk(self, params, net_state, states, x, seq_len):
         config = self.config

@@ -167,3 +167,21 @@ def test_streaming_stack_kernel_matches_offline(monkeypatch, use_bn):
     assert calls.get("hit"), "streaming did not use the stack kernel"
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_session_reset_reuses_compiled_step():
+    """reset() clears per-utterance state while keeping the jitted chunk
+    step — a reused session must match a fresh one exactly."""
+    config = dict(BASE_CONFIG)
+    params, state = init_model(jax.random.PRNGKey(4), config)
+    raw1 = np.random.RandomState(5).randn(37, 6).astype(np.float32)
+    raw2 = np.random.RandomState(6).randn(23, 6).astype(np.float32)
+
+    shared = StreamingSession(params, state, config, chunk_size=16)
+    out1 = shared.process(raw1, flush=True)
+    shared.reset()
+    out2 = shared.process(raw2, flush=True)
+
+    fresh = StreamingSession(params, state, config, chunk_size=16)
+    np.testing.assert_array_equal(out2, fresh.process(raw2, flush=True))
+    assert out1.shape[0] == 37 and out2.shape[0] == 23
