@@ -1,12 +1,14 @@
-# Shared helpers for the scheduler dispatchers (queue.pl / slurm.pl).
+# Shared helpers for the job dispatchers (run.pl / queue.pl / slurm.pl).
 # Required (not executed); subs live in package main.
 #
-# The batch script materializes one `case` branch per array task with
-# the JOB placeholder substituted in Perl — the same textual
-# substitution run.pl performs — so quoting of the user's command never
-# has to survive a runtime ${TASK_ID} expansion (single-quoted args,
-# embedded quotes and command substitutions behave exactly as under
-# run.pl, where the command runs through one bash -c).
+# The batch script materializes per-task commands with the JOB
+# placeholder substituted in Perl — the same textual substitution
+# run.pl performs — so quoting of the user's command never has to
+# survive a runtime ${TASK_ID} expansion (single-quoted args, embedded
+# quotes and command substitutions behave exactly as under run.pl).
+# Small arrays get one case branch per task; large arrays switch to
+# sidecar files (one substituted command/log per line) so the submitted
+# script stays O(1) regardless of the task count.
 use strict;
 use warnings;
 use Cwd qw(getcwd);
@@ -78,39 +80,83 @@ sub _sq {   # shell single-quoted literal
     return "'" . $s . "'";
 }
 
-# write the batch script: one case branch per task, JOB substituted in
-# Perl (run.pl semantics).  taskvar = scheduler task-id env variable.
+sub _subst {
+    my ($text, $jobname, $job) = @_;
+    $text =~ s/\Q$jobname\E/$job/g if defined $jobname;
+    return $text;
+}
+
+# Resolve the task id robustly: real SGE sets SGE_TASK_ID to the
+# LITERAL STRING "undefined" for non-array jobs.
+sub _task_resolution {
+    my ($taskvar, $jstart) = @_;
+    return "task=\"\${$taskvar:-$jstart}\"\n"
+        . "[ \"\$task\" = undefined ] && task=$jstart\n";
+}
+
+# the per-task body shared by both script styles; $cmd/$log are shell
+# fragments ALREADY safe to splice (quoted literal or variable ref)
+sub _task_body {
+    my ($sh, $log_frag, $cmd_header_frag, $cmd_run_frag, $indent) = @_;
+    print $sh $indent . "log=$log_frag\n";
+    print $sh $indent . "mkdir -p \"\$(dirname \"\$log\")\"\n";
+    print $sh $indent . "printf '%s\\n' $cmd_header_frag > \"\$log\"\n";
+    print $sh $indent
+        . "printf '# started %s\\n' \"\$(date)\" >> \"\$log\"\n";
+    print $sh $indent . "( $cmd_run_frag ) >> \"\$log\" 2>&1\n";
+    print $sh $indent . "ret=\$?\n";
+}
+
+# write the batch script: JOB substituted in Perl per task (run.pl
+# semantics).  taskvar = scheduler task-id env variable.  Arrays above
+# the branch cap use sidecar files (constant-size script).
 sub jd_write_batch_script {
     my ($script, $taskvar, $logfile, $command, $jobname, $jstart,
         $jend) = @_;
+    my $ntasks = $jend - $jstart + 1;
     open(my $sh, ">", $script) or die "cannot write $script\n";
     print $sh "#!/bin/bash\n";
     print $sh "cd " . _sq(getcwd()) . "\n";
-    print $sh "task=\"\${$taskvar:-$jstart}\"\n";
-    print $sh "case \"\$task\" in\n";
-    for my $job ($jstart .. $jend) {
-        my $log = $logfile;
-        my $cmd = $command;
-        if (defined $jobname) {
-            $log =~ s/\Q$jobname\E/$job/g;
-            $cmd =~ s/\Q$jobname\E/$job/g;
+    print $sh _task_resolution($taskvar, $jstart);
+    if ($ntasks <= 128) {
+        print $sh "case \"\$task\" in\n";
+        for my $job ($jstart .. $jend) {
+            my $log = _subst($logfile, $jobname, $job);
+            my $cmd = _subst($command, $jobname, $job);
+            print $sh "  $job)\n";
+            _task_body($sh, _sq($log), _sq("# $cmd"), $cmd, "    ");
+            print $sh "    ;;\n";
         }
-        print $sh "  $job)\n";
-        print $sh "    log=" . _sq($log) . "\n";
-        print $sh "    mkdir -p \"\$(dirname \"\$log\")\"\n";
-        # header is a literal: the command must not re-parse here
-        print $sh "    printf '%s\\n' " . _sq("# $cmd") . " > \"\$log\"\n";
-        print $sh "    printf '# started %s\\n' \"\$(date)\" >> \"\$log\"\n";
-        print $sh "    ( $cmd ) >> \"\$log\" 2>&1\n";
-        print $sh "    ret=\$?\n";
-        print $sh "    ;;\n";
+        print $sh "  *) echo \"unknown task id \$task\" >&2; exit 1;;\n";
+        print $sh "esac\n";
+    } else {
+        # sidecar dispatch: one substituted command/log per line keeps
+        # the submitted script O(1) (schedulers cap script sizes)
+        die "job dispatch: newlines in the command/log are unsupported "
+            . "for arrays larger than 128 tasks\n"
+            if $command =~ m/\n/ or $logfile =~ m/\n/;
+        open(my $cf, ">", "$script.cmds")
+            or die "cannot write $script.cmds\n";
+        open(my $lf, ">", "$script.logs")
+            or die "cannot write $script.logs\n";
+        for my $job ($jstart .. $jend) {
+            print $cf _subst($command, $jobname, $job) . "\n";
+            print $lf _subst($logfile, $jobname, $job) . "\n";
+        }
+        close $cf or die "short write on $script.cmds\n";
+        close $lf or die "short write on $script.logs\n";
+        print $sh "idx=\$((task - $jstart + 1))\n";
+        print $sh "cmd=\$(sed -n \"\${idx}p\" "
+            . _sq("$script.cmds") . ")\n";
+        print $sh "[ -n \"\$cmd\" ] || { echo \"unknown task id "
+            . "\$task\" >&2; exit 1; }\n";
+        _task_body($sh, "\$(sed -n \"\${idx}p\" " . _sq("$script.logs")
+                   . ")", "\"# \$cmd\"", "eval \"\$cmd\"", "");
     }
-    print $sh "  *) echo \"unknown task id \$task\" >&2; exit 1;;\n";
-    print $sh "esac\n";
     print $sh "printf '# finished %s status %s\\n' \"\$(date)\" " .
         "\"\$ret\" >> \"\$log\"\n";
     print $sh "exit \$ret\n";
-    close $sh;
+    close $sh or die "short write on $script\n";
     chmod 0755, $script;
 }
 

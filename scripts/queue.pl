@@ -5,11 +5,10 @@
 #
 #   queue.pl [options] [JOB=1:N] <logfile> <command...>
 #
-# Submits the command as an SGE array job (qsub -sync y).  The batch
-# script carries one case branch per task with JOB substituted up front
-# (run.pl semantics — quoting in the user's command never meets a
-# runtime ${SGE_TASK_ID} expansion), logs per task, and returns nonzero
-# if any task fails.  Recognized resource options:
+# Submits the command as an SGE array job (qsub -sync y) with JOB
+# substituted per task up front (run.pl semantics), logs per task, and
+# returns nonzero if any task fails.  Recognized resource options
+# (space or --opt=value form):
 #
 #   -q <queue>                      queue name
 #   --mem <size>                    -l mem_free=<size>,ram_free=<size>
@@ -17,6 +16,7 @@
 #   --gpu <n>                       -l gpu=<n>
 #   --max-jobs-run <n>              -tc <n> (array concurrency cap)
 #   --config <file>                 ignored (compatibility)
+#   -l / -P / -r / -pe ...          forwarded to qsub verbatim
 #
 # Without `qsub` on PATH the job runs locally through run.pl with the
 # same semantics (single-machine fallback).
@@ -26,20 +26,16 @@ use FindBin;
 
 require "$FindBin::Bin/job_dispatch_common.pl";
 
-my %VALUELESS = map { $_ => 1 } ("-V", "-cwd", "-r");
-
+# options the dispatcher sets itself (dropped if user-supplied)
+my %VALUELESS_DROP = ("-V" => 1, "-cwd" => 1, "-sync" => 0);
+# known value-taking options ALWAYS consume their value (so a value
+# shaped name=digits, e.g. `-l gpu=1`, can never be mistaken for the
+# JOB spec)
 my %res;
 my @passthru;
-while (@ARGV and $ARGV[0] =~ m/^-/) {
-    my $opt = shift @ARGV;
-    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {   # --opt=value form
-        push @passthru, $1, $2;
-        next;
-    }
-    next if $VALUELESS{$opt};
-    # a valueless unknown flag must not swallow the JOB spec / logfile
-    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
-        ? shift @ARGV : "";
+
+sub apply_opt {
+    my ($opt, $val) = @_;
     if ($opt eq "-q" or $opt eq "--queue") {
         $res{queue} = $val;
     } elsif ($opt eq "--mem" or $opt eq "--max-mem") {
@@ -52,10 +48,45 @@ while (@ARGV and $ARGV[0] =~ m/^-/) {
         $res{maxrun} = $val;
     } elsif ($opt eq "--config") {
         # site config files are a Kaldi-ism we do not replicate
+    } elsif ($opt eq "-l" or $opt eq "-P" or $opt eq "-r"
+             or $opt eq "-p" or $opt eq "-o" or $opt eq "-e") {
+        push @passthru, $opt, $val;    # SGE options, forwarded
     } else {
-        push @passthru, $opt;
-        push @passthru, $val if $val ne "";
+        return 0;
     }
+    return 1;
+}
+
+my %TAKES_VALUE = map { $_ => 1 }
+    ("-q", "--queue", "--mem", "--max-mem", "--num-threads",
+     "--num_threads", "--gpu", "--max-jobs-run", "--config",
+     "-l", "-P", "-r", "-p", "-o", "-e");
+
+while (@ARGV and $ARGV[0] =~ m/^-/) {
+    my $opt = shift @ARGV;
+    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {
+        # --opt=value routes through the same mapping as the space form
+        apply_opt($1, $2) or push @passthru, $opt;
+        next;
+    }
+    next if exists $VALUELESS_DROP{$opt};
+    if ($opt eq "-pe") {               # -pe takes TWO values
+        my @vals = splice(@ARGV, 0, 2);
+        push @passthru, "-pe", @vals;
+        next;
+    }
+    if ($TAKES_VALUE{$opt}) {
+        my $val = @ARGV ? shift @ARGV : "";
+        apply_opt($opt, $val);
+        next;
+    }
+    # unknown flag: arity unknowable — consume a value only if it can't
+    # be the JOB spec (an unknown VALUELESS flag directly before the
+    # logfile will still misparse; add it to the tables above)
+    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
+        ? shift @ARGV : "";
+    push @passthru, $opt;
+    push @passthru, $val if $val ne "";
 }
 
 my ($jobname, $jstart, $jend) = main::jd_parse_jobspec(\@ARGV);

@@ -4,66 +4,51 @@
 #   run.pl [JOB=1:N] <logfile> <command...>
 # JOB ranges fan out N local processes with JOB substituted in the log
 # path and command; exit nonzero if any job fails.
+# Jobspec parsing and argument re-quoting are shared with the scheduler
+# dispatchers (job_dispatch_common.pl) so local and cluster execution
+# keep identical semantics.
 
 use strict;
 use warnings;
+use FindBin;
 
-my $jobname;
-my ($jstart, $jend) = (1, 1);
-my @args = @ARGV;
+require "$FindBin::Bin/job_dispatch_common.pl";
 
 # ignore scheduler-style options other tools may pass
-while (@args and $args[0] =~ m/^-/) {
-    shift @args;
-    shift @args if @args;  # assume option takes a value
+while (@ARGV and $ARGV[0] =~ m/^-/) {
+    shift @ARGV;
+    shift @ARGV if @ARGV and not main::jd_is_jobspec($ARGV[0]);
 }
 
-if (@args and $args[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+):(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $3);
-    shift @args;
-} elsif (@args and $args[0] =~ m/^([A-Za-z_][A-Za-z0-9_]*)=(\d+)$/) {
-    ($jobname, $jstart, $jend) = ($1, $2, $2);
-    shift @args;
-}
+my ($jobname, $jstart, $jend) = main::jd_parse_jobspec(\@ARGV);
 
-die "run.pl: usage: run.pl [JOB=1:N] <logfile> <command...>\n" unless @args >= 2;
-my $logfile = shift @args;
-# Re-quote argv elements that contain whitespace so they survive the
-# round-trip through "bash -c" (escaped \| pipes arrive as bare "|"
-# single-token args and stay unquoted shell operators).
-my @quoted;
-for my $arg (@args) {
-    if ($arg =~ m/^\S+$/) {
-        push @quoted, $arg;
-    } elsif ($arg =~ m/"/) {
-        push @quoted, "'" . $arg . "'";
-    } else {
-        push @quoted, '"' . $arg . '"';
-    }
-}
-my $command = join(" ", @quoted);
+die "run.pl: usage: run.pl [JOB=1:N] <logfile> <command...>\n"
+    unless @ARGV >= 2;
+my $logfile = shift @ARGV;
+my $command = main::jd_quote_args(@ARGV);
 
 my @pids;
 for my $job ($jstart .. $jend) {
     my $log = $logfile;
     my $cmd = $command;
     if (defined $jobname) {
-        $log =~ s/$jobname/$job/g;
-        $cmd =~ s/$jobname/$job/g;
+        $log =~ s/\Q$jobname\E/$job/g;
+        $cmd =~ s/\Q$jobname\E/$job/g;
     }
     my $pid = fork();
     die "run.pl: fork failed: $!\n" unless defined $pid;
     if ($pid == 0) {
         if ($log =~ m|/|) {
             (my $dir = $log) =~ s|/[^/]+$||;
-            system("mkdir -p $dir");
+            system("mkdir", "-p", $dir);
         }
         open(my $lfh, ">", $log) or die "run.pl: cannot open $log\n";
         print $lfh "# $cmd\n# started " . localtime() . "\n";
         close $lfh;
         my $ret = system("bash", "-c", "( $cmd ) >>$log 2>&1");
         open($lfh, ">>", $log) or exit(1);
-        print $lfh "# finished " . localtime() . " status " . ($ret >> 8) . "\n";
+        print $lfh "# finished " . localtime() . " status "
+            . ($ret >> 8) . "\n";
         close $lfh;
         exit($ret == 0 ? 0 : 1);
     }
@@ -76,7 +61,8 @@ for my $pid (@pids) {
     $failed++ if $? != 0;
 }
 if ($failed) {
-    print STDERR "run.pl: $failed / " . scalar(@pids) . " jobs failed; see $logfile\n";
+    print STDERR "run.pl: $failed / " . scalar(@pids)
+        . " jobs failed; see $logfile\n";
     exit 1;
 }
 exit 0;

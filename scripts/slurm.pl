@@ -5,11 +5,10 @@
 #
 #   slurm.pl [options] [JOB=1:N] <logfile> <command...>
 #
-# Submits the command as a Slurm array job (sbatch --wait).  The batch
-# script carries one case branch per task with JOB substituted up front
-# (run.pl semantics — quoting in the user's command never meets a
-# runtime ${SLURM_ARRAY_TASK_ID} expansion), logs per task, and returns
-# nonzero if any task fails.  Recognized resource options:
+# Submits the command as a Slurm array job (sbatch --wait) with JOB
+# substituted per task up front (run.pl semantics), logs per task, and
+# returns nonzero if any task fails.  Recognized resource options
+# (space or --opt=value form):
 #
 #   -p / -q / --partition <name>   partition
 #   --mem <size>                   memory per task (e.g. 4G)
@@ -18,6 +17,7 @@
 #   --time <limit>                 walltime
 #   --max-jobs-run <n>             array concurrency cap (%n)
 #   --config <file>                ignored (compatibility)
+#   --exclusive / --requeue / --contiguous   forwarded to sbatch
 #
 # Without `sbatch` on PATH the job runs locally through run.pl with the
 # same semantics (single-machine fallback).
@@ -27,20 +27,16 @@ use FindBin;
 
 require "$FindBin::Bin/job_dispatch_common.pl";
 
-my %VALUELESS = map { $_ => 1 } ("-V", "--wait", "--exclusive");
-
+# options the dispatcher sets itself (dropped if user-supplied)
+my %VALUELESS_DROP = ("-V" => 1, "--wait" => 1);
+# recognized valueless sbatch flags, forwarded verbatim
+my %VALUELESS_FWD = map { $_ => 1 }
+    ("--exclusive", "--requeue", "--contiguous", "--overcommit");
 my %res;
 my @passthru;
-while (@ARGV and $ARGV[0] =~ m/^-/) {
-    my $opt = shift @ARGV;
-    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {   # --opt=value form
-        push @passthru, "$1=$2";
-        next;
-    }
-    next if $VALUELESS{$opt};
-    # a valueless unknown flag must not swallow the JOB spec / logfile
-    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
-        ? shift @ARGV : "";
+
+sub apply_opt {
+    my ($opt, $val) = @_;
     if ($opt eq "-p" or $opt eq "-q" or $opt eq "--partition") {
         $res{partition} = $val;
     } elsif ($opt eq "--mem" or $opt eq "--max-mem") {
@@ -56,9 +52,39 @@ while (@ARGV and $ARGV[0] =~ m/^-/) {
     } elsif ($opt eq "--config") {
         # site config files are a Kaldi-ism we do not replicate
     } else {
-        push @passthru, $opt;
-        push @passthru, $val if $val ne "";
+        return 0;
     }
+    return 1;
+}
+
+my %TAKES_VALUE = map { $_ => 1 }
+    ("-p", "-q", "--partition", "--mem", "--max-mem", "--num-threads",
+     "--num_threads", "--gpu", "--time", "--max-jobs-run", "--config");
+
+while (@ARGV and $ARGV[0] =~ m/^-/) {
+    my $opt = shift @ARGV;
+    if ($opt =~ m/^(--[A-Za-z][\w-]*)=(.*)$/s) {
+        # --opt=value routes through the same mapping as the space form
+        apply_opt($1, $2) or push @passthru, $opt;
+        next;
+    }
+    next if exists $VALUELESS_DROP{$opt};
+    if ($VALUELESS_FWD{$opt}) {
+        push @passthru, $opt;
+        next;
+    }
+    if ($TAKES_VALUE{$opt}) {
+        my $val = @ARGV ? shift @ARGV : "";
+        apply_opt($opt, $val);
+        next;
+    }
+    # unknown flag: arity unknowable — consume a value only if it can't
+    # be the JOB spec (an unknown VALUELESS flag directly before the
+    # logfile will still misparse; add it to the tables above)
+    my $val = (@ARGV and not main::jd_is_jobspec($ARGV[0]))
+        ? shift @ARGV : "";
+    push @passthru, $opt;
+    push @passthru, $val if $val ne "";
 }
 
 my ($jobname, $jstart, $jend) = main::jd_parse_jobspec(\@ARGV);

@@ -57,7 +57,9 @@ while [ $# -gt 0 ]; do
   esac
 done
 if [ -z "$trange" ]; then
-  bash "$script"; exit $?
+  # real SGE sets SGE_TASK_ID to the literal string "undefined" for
+  # non-array jobs
+  SGE_TASK_ID=undefined bash "$script"; exit $?
 fi
 lo=${trange%-*}; hi=${trange#*-}
 rc=0
@@ -245,3 +247,75 @@ def test_command_substitution_runs_exactly_once(tmp_path):
     assert side.read_text().count("hit") == 1
     # and the header records the command literally
     assert "echo hit >>" in (tmp_path / "once.1.log").read_text()
+
+
+def test_qsub_single_job_real_sge_task_id(tmp_path):
+    """Real SGE sets SGE_TASK_ID to the literal 'undefined' for
+    non-array jobs; the batch script must still resolve the task."""
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "single_sge.log"
+    r = _run("queue.pl", [str(log), "echo", "solo"], bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    text = log.read_text()
+    assert "solo" in text and "status 0" in text
+
+
+def test_qsub_l_option_with_name_eq_digits_value(tmp_path):
+    """`-l gpu=1` is a standard Kaldi idiom whose value LOOKS like a
+    JOB spec; known value-taking options must always consume their
+    value."""
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "lopt.JOB.log"
+    r = _run("queue.pl",
+             ["-l", "gpu=1", "JOB=1:2", str(log), "echo", "gpu", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 2):
+        assert ("gpu %d" % i) in \
+            (tmp_path / ("lopt.%d.log" % i)).read_text()
+    argv = (tmp_path / "sched_argv.log").read_text()
+    assert "-l gpu=1" in argv
+    assert "-t 1-2" in argv
+
+
+def test_eq_form_options_route_through_mapping(tmp_path):
+    bindir = _install_fake(tmp_path, "qsub", FAKE_QSUB)
+    log = tmp_path / "eq.JOB.log"
+    r = _run("queue.pl",
+             ["--mem=4G", "--num-threads=3", "JOB=1:1", str(log),
+              "echo", "eq", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    argv = (tmp_path / "sched_argv.log").read_text()
+    assert "mem_free=4G,ram_free=4G" in argv
+    assert "-pe smp 3" in argv
+    assert "--mem" not in argv
+
+
+def test_slurm_forwards_exclusive_and_requeue(tmp_path):
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "excl.JOB.log"
+    r = _run("slurm.pl",
+             ["--exclusive", "--requeue", "JOB=1:1", str(log),
+              "echo", "x", "JOB"],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    argv = (tmp_path / "sched_argv.log").read_text()
+    assert "--exclusive" in argv and "--requeue" in argv
+
+
+def test_large_array_uses_sidecar_dispatch(tmp_path):
+    """Arrays above the case-branch cap switch to sidecar files so the
+    submitted script stays O(1); substitution and logging still hold."""
+    bindir = _install_fake(tmp_path, "sbatch", FAKE_SBATCH)
+    log = tmp_path / "logs" / "big.JOB.log"
+    r = _run("slurm.pl",
+             ["JOB=1:200", str(log), "sh", "-c", 'echo "big JOB"'],
+             bindir, tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 137, 200):
+        text = (tmp_path / "logs" / ("big.%d.log" % i)).read_text()
+        assert ("big %d" % i) in text and "status 0" in text
+    script = (tmp_path / "logs" / "q" / "big.JOB.sh").read_text()
+    assert "case" not in script
+    assert (tmp_path / "logs" / "q" / "big.JOB.sh.cmds").exists()
