@@ -121,6 +121,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
         "ark,scp:$tfdata/label.$tag.ark,$tfdata/label.$tag.scp"
     bash "$SCRIPTS/tfrecord.sh" --feats-scp data/train_$set/feats.scp \
       --trans-scp "$tfdata/label.$tag.scp" \
+      --target-length-cutoff "$target_length_cutoff" \
       --cmvn-ark data/train_$set/cmvn.mat --add-deltas true --nj "$nj" \
       --dir "$tfdata/$tag"
   done

@@ -41,7 +41,6 @@ train_driver=script   # script = scripts/train_oplr.sh (one process per
 . "$SCRIPTS/parse_options.sh" || exit 1
 
 mkdir -p "$work"
-num_units=$(test -f "$work/data/dict/units.txt" && wc -l < "$work/data/dict/units.txt" || echo 10)
 
 if [ "$stage" -le 0 ]; then
   echo "===== stage 0: data generation ====="
@@ -97,6 +96,10 @@ if [ "$stage" -le 3 ]; then
     $PYTHON "$BIN/analyze-counts.py" ark:- "$work/exp/label.counts"
 fi
 
+# derive the unit count AFTER stage 0 materialized the dict (a stale
+# fallback literal here would silently mis-size the output layer if the
+# generator's phone set ever changes)
+num_units=$(wc -l < "$work/data/dict/units.txt")
 num_targets=$((num_units + 1))
 
 if [ "$stage" -le 4 ]; then

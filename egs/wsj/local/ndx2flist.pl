@@ -18,9 +18,14 @@ while (<STDIN>) {
     $rel =~ s/^\s*\S*:\s*//;   # strip the disk-id prefix
     $rel =~ s/^\s+|\s+$//g;
     $rel = lc($rel);
+    # si_et_20.ndx entries carry no extension (the reference appends
+    # .wv1 via awk before this script); normalize here
+    $rel .= ".wv1" unless $rel =~ m/\.\w+$/;
     my $found = 0;
     foreach my $root (@roots) {
-        foreach my $cand ("$root/$rel", uc("$root/$rel")) {
+        # uppercase only the RELATIVE part (disc layouts vary); the
+        # corpus root keeps its real case
+        foreach my $cand ("$root/$rel", "$root/" . uc($rel)) {
             if (-e $cand) { print "$cand\n"; $found = 1; last; }
         }
         last if $found;

@@ -21,19 +21,36 @@ SPH2PIPE=$(command -v sph2pipe || true)
 [ -z "$SPH2PIPE" ] && echo "sph2pipe not found in PATH (needed for .wv1)" \
   && exit 1
 
+# each disc may be the corpus root itself or hold per-disc
+# subdirectories (11-1.1/wsj0/...); search both
+wsj0_roots=("$WSJ0" "$WSJ0"/*/)
+wsj1_roots=("$WSJ1" "$WSJ1"/*/)
+
+require_nonempty() {  # an empty flist means a wrong corpus layout —
+  [ -s "$1" ] || {    # fail loudly instead of producing empty datasets
+    echo "wsj_data_prep.sh: $1 is empty — check the corpus layout" >&2
+    exit 1
+  }
+}
+
 # train si284 = si84 (WSJ0) + si200 (WSJ1)
-cat "$WSJ0"/wsj0/doc/indices/train/tr_s_wv1.ndx 2>/dev/null \
-  | "$LOCAL/ndx2flist.pl" "$WSJ0" > "$dir/train_si84.flist" || true
-cat "$WSJ1"/wsj1/doc/indices/si_tr_s.ndx 2>/dev/null \
-  | "$LOCAL/ndx2flist.pl" "$WSJ1" > "$dir/train_si200.flist" || true
+cat "$WSJ0"/wsj0/doc/indices/train/tr_s_wv1.ndx \
+  | "$LOCAL/ndx2flist.pl" "${wsj0_roots[@]}" > "$dir/train_si84.flist"
+require_nonempty "$dir/train_si84.flist"
+cat "$WSJ1"/wsj1/doc/indices/si_tr_s.ndx \
+  | "$LOCAL/ndx2flist.pl" "${wsj1_roots[@]}" > "$dir/train_si200.flist"
+require_nonempty "$dir/train_si200.flist"
 cat "$dir/train_si84.flist" "$dir/train_si200.flist" \
   > "$dir/train_si284.flist"
 
-# dev93 / eval92
-cat "$WSJ1"/wsj1/doc/indices/h1_p0.ndx 2>/dev/null \
-  | "$LOCAL/ndx2flist.pl" "$WSJ1" > "$dir/test_dev93.flist" || true
-cat "$WSJ0"/wsj0/doc/indices/test/nvp/si_et_20.ndx 2>/dev/null \
-  | "$LOCAL/ndx2flist.pl" "$WSJ0" > "$dir/test_eval92.flist" || true
+# dev93 / eval92 (si_et_20.ndx entries carry no extension;
+# ndx2flist.pl appends .wv1)
+cat "$WSJ1"/wsj1/doc/indices/h1_p0.ndx \
+  | "$LOCAL/ndx2flist.pl" "${wsj1_roots[@]}" > "$dir/test_dev93.flist"
+require_nonempty "$dir/test_dev93.flist"
+cat "$WSJ0"/wsj0/doc/indices/test/nvp/si_et_20.ndx \
+  | "$LOCAL/ndx2flist.pl" "${wsj0_roots[@]}" > "$dir/test_eval92.flist"
+require_nonempty "$dir/test_eval92.flist"
 
 # transcripts from .dot files
 find "$WSJ0" "$WSJ1" -iname '*.dot' > "$dir/dot_files.flist"

@@ -151,6 +151,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
     set=${pair% *}; tag=${pair#* }
     bash "$SCRIPTS/tfrecord.sh" --feats-scp "$tfdata/$tag.sorted.scp" \
       --trans-scp "$tfdata/label.$tag.scp" \
+      --target-length-cutoff "$target_length_cutoff" \
       --cmvn-ark data/train_$set/cmvn.mat --add-deltas true --nj "$nj" \
       --dir "$tfdata/$tag"
   done

@@ -23,6 +23,22 @@ from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+UNK_UPPER = "<UNK>"   # Kaldi wordlist convention
+
+
+def _unk_symbol(vocab) -> str:
+    """The OOV token matching the wordlist's convention: Kaldi
+    dictionaries carry '<UNK>', SRILM-style lists '<unk>'.  A mismatch
+    silently drops every OOV n-gram as out-of-symbol-table when the
+    ARPA is compiled against words.txt."""
+    if vocab:
+        if UNK in vocab:
+            return UNK
+        if UNK_UPPER in vocab:
+            return UNK_UPPER
+    return UNK
+
+
 LOG10 = math.log(10.0)
 
 
@@ -60,9 +76,14 @@ class NgramLm:
             {} for _ in range(order + 1)]
 
     def logprob(self, history: Sequence[str], word: str) -> float:
-        """Backoff log10 p(word | history); OOV words get the <unk>
-        probability when present, else -99."""
-        vocab_word = word if (word,) in self.probs[1] else UNK
+        """Backoff log10 p(word | history); OOV words get the <unk> /
+        <UNK> probability when present, else -99."""
+        vocab_word = word
+        if (vocab_word,) not in self.probs[1]:
+            for unk in (UNK, UNK_UPPER):
+                if (unk,) in self.probs[1]:
+                    vocab_word = unk
+                    break
         if (vocab_word,) not in self.probs[1]:
             return -99.0
         h = tuple(history)[-(self.order - 1):] if self.order > 1 else ()
@@ -90,8 +111,9 @@ def _count_ngrams(sentences: Iterable[Sequence[str]], order: int,
     """Raw counts per order; single-<s> padding (SRILM convention: grams
     never extend left of the sentence start), OOVs → <unk>."""
     counts = [Counter() for _ in range(order + 1)]
+    unk = _unk_symbol(vocab)
     for sent in sentences:
-        toks = [w if (vocab is None or w in vocab) else UNK for w in sent]
+        toks = [w if (vocab is None or w in vocab) else unk for w in sent]
         seq = [BOS] + toks + [EOS]
         counts[1][(BOS,)] += 1           # <s> hosts a bow, never predicted
         for i in range(1, len(seq)):
@@ -130,17 +152,24 @@ def train_ngram_lm(sentences: Iterable[Sequence[str]],
     """
     sentences = list(sentences)
     if vocab is not None:
-        vocab = set(vocab) | {BOS, EOS, UNK}
+        vocab = set(vocab)
+        vocab |= {BOS, EOS, _unk_symbol(vocab)}
     raw = _count_ngrams(sentences, order, vocab)
-
-    if min_counts:
-        for k in range(2, order + 1):
-            cutoff = min_counts[k - 1] if k - 1 < len(min_counts) else 1
-            if cutoff > 1:
-                raw[k] = Counter({g: c for g, c in raw[k].items()
-                                  if c >= cutoff})
+    _apply_min_counts(raw, order, min_counts)
     return estimate_from_counts(raw, order,
                                 prune_threshold=prune_threshold)
+
+
+def _apply_min_counts(raw, order: int,
+                      min_counts: Optional[Sequence[int]]) -> None:
+    """Per-order count cutoffs (never order 1), in place."""
+    if not min_counts:
+        return
+    for k in range(2, order + 1):
+        cutoff = min_counts[k - 1] if k - 1 < len(min_counts) else 1
+        if cutoff > 1:
+            raw[k] = Counter({g: c for g, c in raw[k].items()
+                              if c >= cutoff})
 
 
 def estimate_from_counts(raw, order: int,
@@ -254,7 +283,14 @@ def _prune(lm: NgramLm, threshold: float) -> None:
             # history marginal approximation: product along the chain
             ph = 1.0
             for i in range(len(h)):
-                ph *= 10.0 ** lm.logprob(h[:i], h[i])
+                if i == 0 and h[0] == BOS:
+                    # <s> carries the -99 placeholder unigram, which
+                    # would doom EVERY sentence-initial history; its
+                    # true marginal equals p(</s>) (each sentence has
+                    # exactly one of each)
+                    ph *= 10.0 ** lm.logprob((), EOS)
+                else:
+                    ph *= 10.0 ** lm.logprob(h[:i], h[i])
             p_here = 10.0 ** logp
             p_lower = 10.0 ** lm.logprob(h[1:], w)
             bow = 10.0 ** lm.bows[len(h)].get(h, 0.0)
@@ -326,15 +362,11 @@ def count_ngrams_file(path: str, order: int,
         vocab = None
         if vocab_path:
             with open(vocab_path, encoding="utf-8") as fh:
-                vocab = ({line.split()[0] for line in fh if line.split()}
-                         | {BOS, EOS, UNK})
-        raw = _count_ngrams(read_sentences(path, kaldi_text), order, vocab)
-        if min_counts:
-            for k in range(2, order + 1):
-                cutoff = min_counts[k - 1] if k - 1 < len(min_counts) else 1
-                if cutoff > 1:
-                    raw[k] = Counter({g: c for g, c in raw[k].items()
-                                      if c >= cutoff})
+                vocab = {line.split()[0] for line in fh if line.split()}
+            vocab |= {BOS, EOS, _unk_symbol(vocab)}
+        raw = _count_ngrams(read_sentences(path, kaldi_text), order,
+                            vocab)
+        _apply_min_counts(raw, order, min_counts)
         return raw
 
     import subprocess
@@ -343,6 +375,10 @@ def count_ngrams_file(path: str, order: int,
         cmd.append("--kaldi-text")
     if vocab_path:
         cmd += ["--vocab", vocab_path]
+        # match the wordlist's OOV convention (<UNK> in Kaldi dicts)
+        with open(vocab_path, encoding="utf-8") as fh:
+            vset = {line.split()[0] for line in fh if line.split()}
+        cmd += ["--unk", _unk_symbol(vset)]
     if min_counts:
         cmd += ["--min-counts", ",".join(str(c) for c in min_counts)]
     if path.endswith(".gz"):
@@ -358,10 +394,14 @@ def count_ngrams_file(path: str, order: int,
         proc = subprocess.Popen(cmd + ["-"], stdin=subprocess.PIPE,
                                 stdout=subprocess.PIPE)
 
+        feed_error = []
+
         def _feed():
             try:
                 with gzip.open(path, "rb") as fh:
                     shutil.copyfileobj(fh, proc.stdin, 1 << 20)
+            except BaseException as exc:   # surfaced in the main thread
+                feed_error.append(exc)
             finally:
                 proc.stdin.close()
 
@@ -370,6 +410,11 @@ def count_ngrams_file(path: str, order: int,
         out = proc.stdout.read()
         feeder.join()
         proc.wait()
+        if feed_error:
+            # a corrupt/truncated .gz must not yield silently short
+            # counts with exit status 0 (the binary just sees EOF)
+            raise RuntimeError("count-ngrams: error decompressing %s: %s"
+                               % (path, feed_error[0]))
     else:
         proc = subprocess.Popen(cmd + [path], stdout=subprocess.PIPE)
         out, _ = proc.communicate()

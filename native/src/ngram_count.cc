@@ -109,6 +109,7 @@ int main(int argc, char** argv) {
   int order = 3;
   bool kaldi_text = false;
   std::string vocab_path, text_path, min_counts_arg;
+  std::string unk_sym = "<unk>";
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--order" && i + 1 < argc) {
@@ -119,6 +120,8 @@ int main(int argc, char** argv) {
       vocab_path = argv[++i];
     } else if (a == "--min-counts" && i + 1 < argc) {
       min_counts_arg = argv[++i];
+    } else if (a == "--unk" && i + 1 < argc) {
+      unk_sym = argv[++i];   // OOV symbol (Kaldi wordlists use <UNK>)
     } else if (a.rfind("--", 0) == 0) {
       std::cerr << "count-ngrams: unknown option " << a << "\n";
       return 1;
@@ -157,7 +160,7 @@ int main(int argc, char** argv) {
   };
   const uint32_t kBos = intern("<s>", 3);
   const uint32_t kEos = intern("</s>", 4);
-  const uint32_t kUnk = intern("<unk>", 5);
+  const uint32_t kUnk = intern(unk_sym.c_str(), unk_sym.size());
 
   bool have_vocab = false;
   if (!vocab_path.empty()) {

@@ -17,6 +17,7 @@ cmvn_ark=
 dir=
 
 check_length=false
+target_length_cutoff=0  # skip utterances with <= this many labels
 norm_vars=true
 add_deltas=false # append Δ+ΔΔ after CMVN (reference conversion pipe
                  # run_wsj_phn.sh:162-168 'add-deltas'); the WSJ/libri
@@ -73,6 +74,7 @@ echo "converting records"
 $cmd JOB=1:"$nj" "$dir/log/records.JOB.log" \
   $PYTHON "$BIN/convert-to-records.py" \
     --check-length "$check_length" \
+    --target-length-cutoff "$target_length_cutoff" \
     ${nnet_target:+--nnet-target "$nnet_target"} \
     "$nnet_input" "$subdir" "$subdir/tfrecords.scp" || exit 1
 

@@ -69,8 +69,12 @@ def test_pruning_shrinks_and_keeps_quality():
     train = corpus(400)
     heldout = corpus(100, seed=1)
     full = train_ngram_lm(train, order=3)
-    pruned = train_ngram_lm(train, order=3, prune_threshold=1e-4)
+    # 0.01 genuinely prunes this small corpus's trigrams; the previous
+    # 1e-4 only "shrank" the model by wrongly dooming <s>-history grams
+    # (the bug test_pruning_keeps_sentence_initial_grams pins)
+    pruned = train_ngram_lm(train, order=3, prune_threshold=0.01)
     assert len(pruned.probs[3]) < len(full.probs[3])
+    assert any(g[0] == BOS for g in pruned.probs[2])
     # pruned model still far better than unigram
     uni = train_ngram_lm(train, order=1)
     assert perplexity(pruned, heldout) < perplexity(uni, heldout) / 2
@@ -261,3 +265,35 @@ def test_train_lm_cli_native_and_python_identical(tmp_path):
     python = run({"LSTM_CTC_TPU_NATIVE_COUNTS": "0"})
     assert native == python
     assert b"\\1-grams:" in native
+
+
+def test_pruning_keeps_sentence_initial_grams():
+    """The history-marginal chain must not multiply in the -99 <s>
+    placeholder — that doomed EVERY sentence-initial n-gram at any
+    threshold, collapsing sentence starts to bare unigrams."""
+    rng = __import__("random").Random(0)
+    words = ["a", "b", "c", "d", "e"]
+    sents = [[rng.choice(words) for _ in range(rng.randint(3, 8))]
+             for _ in range(400)]
+    lm = train_ngram_lm(sents, order=3, prune_threshold=1e-7)
+    bos_bigrams = [g for g in lm.probs[2] if g[0] == "<s>"]
+    assert bos_bigrams, "pruning removed every <s>-history bigram"
+
+
+def test_unk_symbol_follows_wordlist_convention():
+    """Kaldi wordlists carry '<UNK>'; OOVs must map to the wordlist's
+    symbol or every OOV n-gram is dropped as out-of-symbol-table when
+    the ARPA is compiled against words.txt."""
+    import io
+
+    sents = [["hello", "world"], ["hello", "there"],
+             ["rareword", "world"]]
+    vocab = {"hello", "world", "there", "<UNK>"}
+    lm = train_ngram_lm(sents, order=2, vocab=vocab)
+    buf = io.StringIO()
+    write_arpa(lm, buf)
+    arpa = buf.getvalue()
+    assert "<UNK>" in arpa
+    assert "<unk>" not in arpa
+    # OOV queries hit the wordlist's symbol
+    assert lm.logprob((), "neverseen") == lm.logprob((), "<UNK>")
