@@ -33,12 +33,45 @@ conservative 15k end and state the assumption.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 ASSUMED_V100_FRAMES_PER_SEC = 15000.0
 V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _probe_backend(attempts=3, deadline_s=240, sleep_s=45):
+    """Bounded fail-fast backend probe, run in a SUBPROCESS.
+
+    A backend-init hang cannot be timed out in-process (the init call
+    blocks in C), and riding it out through the retry loop is what ate
+    the whole BENCH_r03 driver window (rc=124, parsed=null).  The probe
+    subprocess initializes the backend and runs one scalar op under a
+    hard deadline; only when it answers does the real bench start.
+    Returns (ok, last_error_line)."""
+    import subprocess
+    code = ("import jax; d = jax.devices(); import jax.numpy as jnp; "
+            "print(float(jnp.ones(()).sum())); print(d[0])")
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=deadline_s)
+            if r.returncode == 0:
+                return True, ""
+            last = (r.stderr.strip().splitlines() or [""])[-1][:300]
+        except subprocess.TimeoutExpired:
+            last = ("probe timed out after %ds (backend init hang)"
+                    % deadline_s)
+        print("bench: backend probe attempt %d/%d failed: %s"
+              % (i + 1, attempts, last), file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False, last
 
 
 def model_fwd_flops_per_frame(config):
@@ -261,6 +294,12 @@ def main():
     from __graft_entry__ import FLAGSHIP_CONFIG, _example_batch
     from lstm_ctc_tpu.models import apply_model, init_model
 
+    t_start = time.monotonic()
+    # soft deadline on SECONDARY rows: whatever completed is still
+    # emitted as a full JSON line well inside the driver's window
+    row_deadline = float(os.environ.get("LSTM_CTC_TPU_BENCH_DEADLINE",
+                                        "2100"))
+
     config = dict(FLAGSHIP_CONFIG, dropout_rate=1.0)
     bench_b, bench_t = 32, 384
     if _SMOKE:
@@ -275,18 +314,52 @@ def main():
         return round(fps * train_flops / V5E_BF16_PEAK_FLOPS, 4)
 
     rows = []
+    # Built incrementally and re-emitted after every row: a mid-run kill
+    # (driver timeout, backend wedge) still leaves the LAST stdout line a
+    # complete, parsable JSON result covering everything that finished.
+    result = {
+        "metric": "train_frames_per_sec_per_chip",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s "
+                         "V100/TF1.8 figure — the conservative end of a "
+                         "FLOP-roofline bracket (15-40k); the reference "
+                         "publishes accuracy only (BASELINE.md)",
+        "configs": rows,
+        "model_train_mflops_per_frame": round(train_flops / 1e6, 1),
+        "mfu_peak_note": "MFU vs v5e bf16 peak 197 TFLOP/s; counts "
+                         "useful fwd+bwd matmul FLOPs (3x fwd), "
+                         "excluding remat recompute",
+        "forward_frames_per_sec": None,
+        "device": str(jax.devices()[0]),
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
 
     def try_row(label, fn):
-        # a failing secondary row must not sink the whole benchmark
-        try:
-            rows.append(fn())
-        except Exception as exc:   # noqa: BLE001
-            rows.append({"config": label, "error": str(exc)[:200]})
+        # a failing secondary row must not sink the whole benchmark,
+        # and a slow bench must degrade to fewer rows, not to rc=124
+        elapsed = time.monotonic() - t_start
+        if elapsed > row_deadline:
+            rows.append({"config": label,
+                         "skipped": "bench deadline (%.0fs elapsed)"
+                                    % elapsed})
+        else:
+            try:
+                rows.append(fn())
+            except Exception as exc:   # noqa: BLE001
+                rows.append({"config": label, "error": str(exc)[:200]})
+        emit()
 
     # the headline row runs un-guarded: without it there is no metric
     fps32 = bench_unpacked(config, bench_b, bench_t, jax)
     rows.append({"config": "flagship_b32_t384",
                  "frames_per_sec": round(fps32, 1), "mfu": mfu(fps32)})
+    result["value"] = round(fps32, 1)
+    result["vs_baseline"] = round(fps32 / ASSUMED_V100_FRAMES_PER_SEC, 3)
+    emit()
 
     def row_b64():
         fps64 = bench_unpacked(config, 2 * bench_b, bench_t, jax)
@@ -346,40 +419,36 @@ def main():
     try:
         fwd_dt = _time_steps_loop(run_fwd,
                                   lambda: _sync(fwd_out["o"].sum()))
-        fwd_fps = bench_b * bench_t / fwd_dt
+        result["forward_frames_per_sec"] = round(
+            bench_b * bench_t / fwd_dt, 1)
     except Exception as exc:   # noqa: BLE001
-        fwd_fps = None
         rows.append({"config": "forward_b32_t384",
                      "error": str(exc)[:200]})
-
-    result = {
-        "metric": "train_frames_per_sec_per_chip",
-        "value": round(fps32, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps32 / ASSUMED_V100_FRAMES_PER_SEC, 3),
-        "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s "
-                         "V100/TF1.8 figure — the conservative end of a "
-                         "FLOP-roofline bracket (15-40k); the reference "
-                         "publishes accuracy only (BASELINE.md)",
-        "configs": rows,
-        "model_train_mflops_per_frame": round(train_flops / 1e6, 1),
-        "mfu_peak_note": "MFU vs v5e bf16 peak 197 TFLOP/s; counts "
-                         "useful fwd+bwd matmul FLOPs (3x fwd), "
-                         "excluding remat recompute",
-        "forward_frames_per_sec":
-            round(fwd_fps, 1) if fwd_fps is not None else None,
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":
-    import sys
     if "--smoke" in sys.argv:
         _SMOKE = True
         STEPS_BIG, STEPS_SMALL = 4, 2
-    # the driver records this run; ride out transient remote-TPU errors
-    # (no output is streamed until the final JSON line, so a full re-run
-    # is safe)
+    else:
+        # fail-fast: do NOT start (or retry) the bench against a backend
+        # that cannot even initialize — emit a parsable error line and
+        # exit within a bounded probe budget instead of riding init
+        # hangs past the driver window (BENCH_r03 post-mortem)
+        ok, msg = _probe_backend()
+        if not ok:
+            print(json.dumps({
+                "metric": "train_frames_per_sec_per_chip",
+                "value": None,
+                "unit": "frames/s",
+                "error": "backend unavailable after bounded probe: "
+                         + msg,
+            }), flush=True)
+            sys.exit(2)
+    # the probe certified the backend is up, so transients mid-bench get
+    # ONE capped retry (each emitted row line survives a re-run: the
+    # last stdout line is always the most complete result)
+    os.environ.setdefault("LSTM_CTC_TPU_BACKEND_RETRIES", "1")
     from lstm_ctc_tpu.cli import run_with_backend_retry
     run_with_backend_retry(main, what="bench")

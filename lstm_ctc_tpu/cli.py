@@ -139,7 +139,8 @@ def is_transient_backend_error(exc: BaseException) -> bool:
     # RuntimeError ("Unable to initialize backend 'axon': UNAVAILABLE
     # ..."), the exact signature of the remote service being down —
     # the outage mode retries exist for (observed 2026-08-17)
-    if isinstance(exc, RuntimeError)             and "Unable to initialize backend" in msg:
+    if (isinstance(exc, RuntimeError)
+            and "Unable to initialize backend" in msg):
         return any(m in msg for m in _TRANSIENT_BACKEND_MARKERS)
     return False
 

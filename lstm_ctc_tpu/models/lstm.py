@@ -255,8 +255,13 @@ def apply_lstm(params: Dict,
     if not dims["use_bn"]:
         # dropout runs in-kernel (hash mask).  Split off a dedicated key
         # so the in-kernel seed never aliases the MoE dropout key below.
+        # Split only once the gate confirms the wavefront path runs —
+        # otherwise the per-layer fallback would consume a different RNG
+        # stream than it does when the stack kernel is not even eligible.
         stack_rng = None
-        if keep_prob < 1.0 and dropout_rng is not None:
+        if keep_prob < 1.0 and dropout_rng is not None \
+                and _stack_gate(config, params["layers"],
+                                x.shape[0]) is not None:
             dropout_rng, stack_rng = jax.random.split(dropout_rng)
         stacked = _stack_outputs(config, params["layers"], x,
                                  sequence_length, res_flags,

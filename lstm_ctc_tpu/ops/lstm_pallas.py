@@ -49,7 +49,7 @@ def _sigmoid(x):
 
 
 def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
-                     use_proj, cdt, use_reset=False):
+                     use_proj, cdt, use_reset=False, unroll=1):
     h4 = 4 * num_units
 
     def kernel(gx_ref, mask_ref, whf_ref, whb_ref, projf_ref, projb_ref,
@@ -113,7 +113,7 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         c, h = jax.lax.fori_loop(
             0, gx_ref.shape[0], step, (c_ref[:], h_ref[:]),
-            unroll=_kernel_unroll())
+            unroll=unroll)
         c_ref[:] = c
         h_ref[:] = h
 
@@ -127,7 +127,7 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
 def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
                      use_proj, cdt, use_reset=False,
-                     fold_dx=False, d_in=0):
+                     fold_dx=False, d_in=0, unroll=1):
     """Reverse-time backward: recomputes gate activations from the stored
     previous-step states.
 
@@ -318,7 +318,7 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         dc, dh = jax.lax.fori_loop(
             0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]),
-            unroll=_kernel_unroll())
+            unroll=unroll)
         dc_ref[:] = dc
         dh_ref[:] = dh
 
@@ -423,7 +423,12 @@ def _pad_time(x, padded_t):
 @functools.lru_cache(maxsize=32)
 def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
                 use_peep, use_proj, cdt_name, store_name, time_block,
-                interpret, use_reset=False, fold_dx=False, d_in=0):
+                interpret, use_reset=False, fold_dx=False, d_in=0,
+                unroll=1):
+    # ``unroll`` is read from the env ONCE by the callers and passed in so
+    # it participates in the lru_cache key — changing
+    # LSTM_CTC_TPU_KERNEL_UNROLL mid-process must not silently reuse
+    # kernels built with the old factor.
     cdt = jnp.dtype(cdt_name)
     h4 = 4 * num_units
     b2 = 2 * batch
@@ -436,10 +441,12 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
     store_dt = jnp.dtype(store_name)
 
     fwd_kernel = _make_fwd_kernel(batch, num_units, out_dim, forget_bias,
-                                  use_peep, use_proj, cdt, use_reset)
+                                  use_peep, use_proj, cdt, use_reset,
+                                  unroll=unroll)
     bwd_kernel = _make_bwd_kernel(batch, num_units, out_dim, forget_bias,
                                   use_peep, use_proj, cdt, use_reset,
-                                  fold_dx=fold_dx, d_in=d_in)
+                                  fold_dx=fold_dx, d_in=d_in,
+                                  unroll=unroll)
     mask_w = 2 if use_reset else 1
 
     tb_spec = lambda width, dtype=None: pl.BlockSpec(
@@ -769,7 +776,8 @@ def bilstm_dual_scan_fused(fw_params, bw_params, x, x_rev,
                         float(forget_bias), use_peep, use_proj,
                         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
                         time_block, bool(interpret), use_reset,
-                        fold_dx=fold_dx, d_in=d_in if fold_dx else 0)
+                        fold_dx=fold_dx, d_in=d_in if fold_dx else 0,
+                        unroll=_kernel_unroll())
     if fold_dx:
         out, cfin, hfin = fused(
             xt, fw_params["wx"].astype(cdt), bw_params["wx"].astype(cdt),
@@ -882,7 +890,8 @@ def lstm_scan_fused(params, x, sequence_length, forget_bias=1.0,
     fused = _make_fused(time_steps, half, num_units, out_dim,
                         float(forget_bias), use_peep, use_proj,
                         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name,
-                        time_block, bool(interpret))
+                        time_block, bool(interpret),
+                        unroll=_kernel_unroll())
     out, cfin, hfin = fused(gx, mask, wh, wh, proj, proj,
                             peep("w_i_diag"), peep("w_f_diag"),
                             peep("w_o_diag"))

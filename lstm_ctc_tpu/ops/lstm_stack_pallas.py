@@ -63,7 +63,7 @@ def _auto_time_block(num_layers, batch):
 
 def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                      use_peep, use_proj, cdt, residual, keep_prob,
-                     time_block, use_affine=False):
+                     time_block, use_affine=False, unroll=1):
     """residual: static tuple of L floats (1.0 → chain_l += in_l).
     keep_prob < 1: inter-layer dropout on the chain values via the same
     counter-based hash as the MoE kernel (same keep-prob semantics as
@@ -168,7 +168,7 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
         c, h, inb = jax.lax.fori_loop(
             0, gx0_ref.shape[0], step, (c_ref[:], h_ref[:], in_ref[:]),
-            unroll=_kernel_unroll())
+            unroll=unroll)
         c_ref[:] = c
         h_ref[:] = h
         in_ref[:] = inb
@@ -183,7 +183,7 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
 def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
                      use_peep, use_proj, cdt, residual, keep_prob,
-                     time_block):
+                     time_block, unroll=1):
     lb = num_layers * batch
     h4 = 4 * num_units
     p2 = 2 * out_dim
@@ -331,7 +331,7 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
         dc, dh, dinbuf = jax.lax.fori_loop(
             0, gx0_ref.shape[0], rev_step,
             (dc_ref[:], dh_ref[:], din_ref[:]),
-            unroll=_kernel_unroll())
+            unroll=unroll)
         dc_ref[:] = dc
         dh_ref[:] = dh
         din_ref[:] = dinbuf
@@ -392,7 +392,9 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
                 forget_bias, use_peep, use_proj, residual, cdt_name,
                 store_name, time_block, interpret, keep_prob=1.0,
-                use_affine=False):
+                use_affine=False, unroll=1):
+    # ``unroll`` is passed in by the caller (read from the env once) so
+    # it participates in the lru_cache key — see lstm_pallas._make_fused.
     cdt = jnp.dtype(cdt_name)
     store_dt = jnp.dtype(store_name)
     lb = num_layers * batch
@@ -405,10 +407,11 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
     fwd_kernel = _make_fwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
                                   residual, keep_prob, time_block,
-                                  use_affine=use_affine)
+                                  use_affine=use_affine, unroll=unroll)
     bwd_kernel = _make_bwd_kernel(num_layers, batch, num_units, out_dim,
                                   forget_bias, use_peep, use_proj, cdt,
-                                  residual, keep_prob, time_block)
+                                  residual, keep_prob, time_block,
+                                  unroll=unroll)
 
     tb_rows = lambda rows, width: pl.BlockSpec(
         (time_block, rows, width), lambda t: (t, 0, 0),
@@ -500,13 +503,28 @@ def _make_fused(time_steps, num_layers, batch, num_units, out_dim,
           wi, wf, wo, dout, dcfin, dhfin)
 
     if use_affine:
-        # forward-only (eval/decode): no VJP — differentiating raises
+        # forward-only (eval/decode).  A custom_vjp whose bwd raises
+        # keeps anyone differentiating an eval forward (e.g. saliency)
+        # from hitting an obscure Mosaic pallas_call transpose error.
+        @jax.custom_vjp
         def fused_affine(seed, gx0, mask, wz, bias, proj, wi, wf, wo,
                          cinit, hinit, arows, brows):
             out, _, _, _, cfin, hfin = pallas_fwd(
                 seed, gx0, mask, wz, bias, proj, wi, wf, wo, cinit,
                 hinit, arows, brows)
             return out, cfin, hfin
+
+        def fused_affine_fwd(*args):
+            return fused_affine(*args), None
+
+        def fused_affine_bwd(res, cots):
+            raise NotImplementedError(
+                "the affine (eval-mode BN) wavefront stack kernel is "
+                "forward-only; gradients of an eval/decode forward are "
+                "not supported — run with train=True (training-mode BN "
+                "uses the scan path) or LSTM_CTC_TPU_LSTM_IMPL=scan")
+
+        fused_affine.defvjp(fused_affine_fwd, fused_affine_bwd)
         return fused_affine
 
     @jax.custom_vjp
@@ -711,7 +729,7 @@ def lstm_stack_fused(params_list, x, sequence_length, forget_bias=1.0,
         float(forget_bias), use_peep, use_proj, residual,
         jnp.dtype(cdt).name, jnp.dtype(store_dtype).name, time_block,
         bool(interpret), keep_prob=float(keep_prob),
-        use_affine=affine is not None)
+        use_affine=affine is not None, unroll=_kernel_unroll())
     args = [seed, gx0, mask, wz, bias, proj,
             peep("w_i_diag"), peep("w_f_diag"), peep("w_o_diag"),
             cinit, hinit]

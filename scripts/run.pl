@@ -14,9 +14,27 @@ use FindBin;
 
 require "$FindBin::Bin/job_dispatch_common.pl";
 
-# ignore scheduler-style options other tools may pass
+# ignore scheduler-style options other tools may pass.  Options known to
+# take a value (the queue.pl/slurm.pl sets) consume it UNCONDITIONALLY —
+# values like "-l mem_free=4096" are name=digits shaped and would
+# otherwise be mistaken for the JOB spec, shifting the real jobspec into
+# the logfile position.  Only unknown options fall back to the
+# is-it-the-jobspec heuristic (they may be valueless flags like -V).
+my %VALUE_OPTS = map { $_ => 1 }
+    ("-q", "-l", "-P", "-r", "-p", "-o", "-e", "-M", "-A", "-t",
+     "--mem", "--max-mem", "--num-threads", "--num_threads", "--gpu",
+     "--time", "--max-jobs-run", "--config");
 while (@ARGV and $ARGV[0] =~ m/^-/) {
-    shift @ARGV;
+    my $opt = shift @ARGV;
+    next if $opt =~ m/^--[A-Za-z][\w-]*=/;   # --opt=value, self-contained
+    if ($opt eq "-pe") {                      # -pe takes TWO values
+        splice(@ARGV, 0, 2) if @ARGV >= 2;
+        next;
+    }
+    if ($VALUE_OPTS{$opt}) {
+        shift @ARGV if @ARGV;
+        next;
+    }
     shift @ARGV if @ARGV and not main::jd_is_jobspec($ARGV[0]);
 }
 

@@ -226,3 +226,30 @@ def test_fold_dx_packed_matches_scan(monkeypatch):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(path))
+
+
+def test_unroll_env_participates_in_kernel_cache_key(monkeypatch):
+    """Changing LSTM_CTC_TPU_KERNEL_UNROLL mid-process must rebuild the
+    fused kernel (new lru_cache entry), not silently reuse one built
+    with the old factor — and the unrolled kernel must stay
+    semantics-preserving."""
+    from lstm_ctc_tpu.ops import lstm_pallas
+
+    fw, bw, x, x_rev, seq_len = make_case(7)
+    monkeypatch.setenv("LSTM_CTC_TPU_KERNEL_UNROLL", "1")
+    base = lstm_pallas._make_fused.cache_info().currsize
+    got1 = bilstm_dual_scan_fused(fw, bw, x, x_rev, seq_len, FORGET_BIAS,
+                                  time_block=8, store_dtype="float32",
+                                  interpret=True)
+    size1 = lstm_pallas._make_fused.cache_info().currsize
+    assert size1 >= base + 1
+    monkeypatch.setenv("LSTM_CTC_TPU_KERNEL_UNROLL", "4")
+    got4 = bilstm_dual_scan_fused(fw, bw, x, x_rev, seq_len, FORGET_BIAS,
+                                  time_block=8, store_dtype="float32",
+                                  interpret=True)
+    assert lstm_pallas._make_fused.cache_info().currsize == size1 + 1, \
+        "unroll change did not produce a fresh kernel cache entry"
+    for a, b in zip(jax.tree_util.tree_leaves(got1),
+                    jax.tree_util.tree_leaves(got4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

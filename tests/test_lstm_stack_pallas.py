@@ -445,3 +445,25 @@ def test_sharded_stack_dropout_decorrelates_shards():
     assert not np.allclose(np.asarray(dropped[:2]),
                            np.asarray(dropped[2:]), atol=1e-6), \
         "shards produced identical dropout masks"
+
+
+def test_affine_stack_gradient_raises_descriptive_error():
+    """The eval-mode-BN (affine) wavefront kernel is forward-only;
+    differentiating through it must raise a descriptive
+    NotImplementedError, not an obscure Mosaic transpose error."""
+    params = make_stack(2, 12, False)
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(B, T, D0), jnp.float32)
+    seq = jnp.asarray([T] * B, jnp.int32)
+    affine = [(jnp.ones((12,), jnp.float32),
+               jnp.zeros((12,), jnp.float32)) for _ in range(2)]
+
+    def loss(x):
+        out, _ = lstm_stack_fused(
+            params, x, seq, 1.0, residual_flags=(False, True),
+            store_dtype="float32", time_block=8, interpret=True,
+            affine=affine)
+        return jnp.sum(out)
+
+    with pytest.raises(NotImplementedError, match="forward-only"):
+        jax.grad(loss)(x)

@@ -319,3 +319,41 @@ def test_large_array_uses_sidecar_dispatch(tmp_path):
     script = (tmp_path / "logs" / "q" / "big.JOB.sh").read_text()
     assert "case" not in script
     assert (tmp_path / "logs" / "q" / "big.JOB.sh.cmds").exists()
+
+
+def test_run_pl_consumes_name_eq_digits_option_values(tmp_path):
+    """``run.pl -l mem_free=4096 JOB=1:2 log cmd``: the -l VALUE is
+    name=digits shaped and must not be mistaken for the JOB spec (which
+    would shift the real jobspec into the logfile position)."""
+    log = tmp_path / "logs" / "opt.JOB.log"
+    r = _run("run.pl",
+             ["-l", "mem_free=4096", "-q", "all.q", "JOB=1:2",
+              str(log), "echo", "task", "JOB"],
+             str(tmp_path), tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for i in (1, 2):
+        text = (tmp_path / "logs" / ("opt.%d.log" % i)).read_text()
+        assert ("task %d" % i) in text
+    # and no stray file named after the jobspec was created
+    assert not (tmp_path / "JOB=1:2").exists()
+
+
+def test_run_pl_pe_option_takes_two_values(tmp_path):
+    log = tmp_path / "pe.log"
+    r = _run("run.pl",
+             ["-pe", "smp", "4", str(log), "echo", "done"],
+             str(tmp_path), tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "done" in log.read_text()
+
+
+def test_run_pl_unknown_valueless_flag_before_jobspec(tmp_path):
+    """An unknown valueless flag directly followed by the jobspec keeps
+    the old heuristic: the jobspec must not be eaten as the flag's
+    value."""
+    log = tmp_path / "vf.JOB.log"
+    r = _run("run.pl",
+             ["-V", "JOB=1:2", str(log), "echo", "v", "JOB"],
+             str(tmp_path), tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "v 2" in (tmp_path / "vf.2.log").read_text()
