@@ -379,24 +379,30 @@ def main():
     try_row("recipe_packed_pf3_b32", row_packed)
 
     # unidirectional families — the wavefront whole-stack kernel path
-    # (ops/lstm_stack_pallas.py)
-    def fam_row(fam, proj, peep):
+    # (ops/lstm_stack_pallas.py); lstm_bn trains with batch-norm between
+    # layers, which needs whole-sequence batch statistics and therefore
+    # runs the PER-LAYER fused kernels instead of the wavefront stack
+    # (models/lstm._make_scan_fn) — this row quantifies that cost
+    def fam_row(label, fam, proj, peep, use_bn=False):
         if _SMOKE and proj:
             proj = config["num_projects"]
         fam_cfg = dict(config, nnet_type=fam, num_projects=proj,
-                       use_peepholes=peep, num_experts=0)
+                       use_peepholes=peep, num_experts=0,
+                       use_bn=use_bn)
         fam_flops = 3 * model_fwd_flops_per_frame(fam_cfg)
         fps_fam = bench_unpacked(fam_cfg, bench_b, bench_t, jax)
-        return {"config": "%s_b32_t384" % fam,
+        return {"config": "%s_b32_t384" % label,
                 "frames_per_sec": round(fps_fam, 1),
                 "mfu": round(fps_fam * fam_flops
                              / V5E_BF16_PEAK_FLOPS, 4)}
 
-    for fam, proj, peep in (("lstm", 320, True),
-                            ("cudnnlstm", None, False)):
-        try_row("%s_b32_t384" % fam,
-                lambda fam=fam, proj=proj, peep=peep:
-                fam_row(fam, proj, peep))
+    for label, fam, proj, peep, bn in (
+            ("lstm", "lstm", 320, True, False),
+            ("cudnnlstm", "cudnnlstm", None, False, False),
+            ("lstm_bn", "lstm", 320, True, True)):
+        try_row("%s_b32_t384" % label,
+                lambda label=label, fam=fam, proj=proj, peep=peep, bn=bn:
+                fam_row(label, fam, proj, peep, use_bn=bn))
 
     # --- forward (inference) ---
     params, net_state = init_model(jax.random.PRNGKey(0), config)

@@ -302,7 +302,8 @@ def apply_lstm(params: Dict,
         from .blstm import _compute_dtype
         y = apply_moe(params["moe"], flat, dims["num_experts"],
                       dims["moe_temp"], keep_prob, k_moe,
-                      compute_dtype=_compute_dtype(config))
+                      compute_dtype=_compute_dtype(config),
+                      mesh=config.get("mesh"))
     else:
         y = flat @ params["head"]["w"] + params["head"]["b"]
     logits = y.reshape(batch, time_steps, dims["num_targets"])

@@ -22,20 +22,37 @@ import jax.numpy as jnp
 from .cells import dropout, truncated_normal
 
 
-def _use_fused() -> bool:
-    """Fused Pallas expert mix on real TPUs; plain XLA elsewhere (and
-    under LSTM_CTC_TPU_MOE_IMPL=xla for A/B comparisons)."""
+def _fused_moe_mode(mesh, n_rows: int):
+    """Fused Pallas expert mix vs the plain XLA mix.
+
+    Returns ``None`` (XLA — GSPMD partitions it automatically),
+    ``"direct"`` (single-device fused kernel), or ``"sharded"`` (fused
+    kernel per-shard under shard_map over ``mesh``).  Mirrors
+    blstm._fused_lstm_mode: a raw pallas_call inside a GSPMD jit over a
+    multi-device mesh would be all-gathered (XLA cannot partition custom
+    calls), so on meshes the kernel must run under shard_map — and when
+    devices are present but no mesh was provided, the XLA path is kept.
+    Force with LSTM_CTC_TPU_MOE_IMPL=fused|xla."""
     impl = os.environ.get("LSTM_CTC_TPU_MOE_IMPL", "auto")
     if impl == "xla":
-        return False
-    if impl == "fused":
-        return True
-    try:
-        # positive TPU check (this repo's remote TPU registers as
-        # "axon"); other accelerators get the portable XLA path
-        return jax.default_backend() in ("tpu", "axon")
-    except RuntimeError:
-        return False
+        return None
+    if impl != "fused":
+        try:
+            # positive TPU check (this repo's remote TPU registers as
+            # "axon"); other accelerators get the portable XLA path
+            if jax.default_backend() not in ("tpu", "axon"):
+                return None
+        except RuntimeError:
+            return None
+    if mesh is not None and mesh.devices.size > 1:
+        if n_rows % mesh.devices.size != 0:
+            return None   # indivisible rows → replicated; keep XLA
+        return "sharded"
+    if impl != "fused" and jax.device_count() > 1:
+        # devices present but no mesh provided: a raw custom call under
+        # GSPMD would be all-gathered; keep the XLA mix
+        return None
+    return "direct"
 
 
 def init_moe(rng, output_dim: int, num_targets: int, num_experts: int) -> Dict:
@@ -56,13 +73,18 @@ def apply_moe(params: Dict,
               moe_temperature: float,
               keep_prob: float = 1.0,
               dropout_rng=None,
-              compute_dtype=None) -> jnp.ndarray:
+              compute_dtype=None,
+              mesh=None) -> jnp.ndarray:
     """x: [N, output_dim] → mixed logits [N, num_targets].
 
     ``compute_dtype``: operand precision for the fused expert tile
     (None = backend default: bf16 on TPU, f32 on CPU — same resolution
-    as blstm._compute_dtype)."""
-    from ..ops.moe_pallas import fused_eligible, moe_mix_fused
+    as blstm._compute_dtype).  ``mesh``: when training data-parallel
+    over a multi-device mesh the fused kernel must run per-shard under
+    shard_map (see _fused_moe_mode) — callers thread ``config["mesh"]``
+    through."""
+    from ..ops.moe_pallas import (fused_eligible, moe_mix_fused,
+                                  moe_mix_sharded)
 
     gate_logits = x @ params["w_prior"] + params["b_prior"]      # [N, E]
     gate = jax.nn.softmax(gate_logits, axis=-1)
@@ -72,7 +94,9 @@ def apply_moe(params: Dict,
         gate = dropout(k_gate, gate, keep_prob)
 
     num_targets = params["w_expert"].shape[1] // num_experts
-    if _use_fused() and fused_eligible(x.shape[1], num_targets):
+    mode = _fused_moe_mode(mesh, x.shape[0]) \
+        if fused_eligible(x.shape[1], num_targets) else None
+    if mode is not None:
         # gate (softmax + its dropout, tiny) stays in XLA above; only the
         # [N, E·V] expert tile is fused.  Expert dropout inside the kernel
         # is hash-based (same keep-prob semantics, different stream).
@@ -80,14 +104,19 @@ def apply_moe(params: Dict,
         seed = jax.random.randint(
             k_expert, (1,), -2 ** 31, 2 ** 31 - 1,
             dtype=jnp.int32) if use_dropout else None
-        return moe_mix_fused(
-            x, params["w_expert"], params["b_expert"], gate,
-            num_experts, moe_temperature,
+        kwargs = dict(
             keep_prob=keep_prob if use_dropout else 1.0,
             seed=seed,
             compute_dtype=compute_dtype or (
                 jnp.float32 if backend == "cpu" else jnp.bfloat16),
             interpret=backend == "cpu")
+        if mode == "sharded":
+            return moe_mix_sharded(
+                mesh, x, params["w_expert"], params["b_expert"], gate,
+                num_experts, moe_temperature, **kwargs)
+        return moe_mix_fused(
+            x, params["w_expert"], params["b_expert"], gate,
+            num_experts, moe_temperature, **kwargs)
 
     expert = moe_temperature * jnp.tanh(
         x @ params["w_expert"] + params["b_expert"])             # [N, E·V]

@@ -27,6 +27,7 @@ through the forward scan (~3× faster end-to-end, measured on v5e).
 
 from __future__ import annotations
 
+import functools
 import os
 import warnings
 from typing import Optional
@@ -53,7 +54,7 @@ def _warn_scan_fallback(batch: int, ext_len: int) -> None:
             "the Pallas path." % (batch, ext_len), stacklevel=3)
 
 
-def _use_pallas() -> bool:
+def _use_pallas(mesh=None) -> bool:
     """Pallas DP kernels on real TPUs; lax.scan elsewhere (and under
     LSTM_CTC_TPU_CTC_IMPL=scan for A/B comparisons)."""
     impl = os.environ.get("LSTM_CTC_TPU_CTC_IMPL", "auto")
@@ -65,9 +66,49 @@ def _use_pallas() -> bool:
         # positive TPU check: the pltpu kernels lower only on TPU
         # backends (this repo's remote TPU registers as "axon"); any
         # other accelerator gets the portable scan
-        return jax.default_backend() in ("tpu", "axon")
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
     except RuntimeError:
         return False
+    if mesh is None and jax.device_count() > 1:
+        # devices present but no mesh provided: a raw pallas custom call
+        # under a GSPMD jit would be all-gathered onto every device —
+        # keep the scan, which XLA partitions (mirrors
+        # blstm._fused_lstm_mode)
+        return False
+    return True
+
+
+def _mesh_shards(mesh, batch: int) -> int:
+    """Number of per-batch shards the Pallas DP kernels must run under
+    shard_map with (1 = run the kernel directly).  A multi-device mesh
+    whose size does not divide the batch cannot shard — callers fall
+    back to the scan there (a direct pallas_call would be replicated)."""
+    if mesh is None:
+        return 1
+    size = mesh.devices.size
+    return size if size > 1 else 1
+
+
+def _shard_dp_kernel(mesh, fn, arg_kinds):
+    """shard_map wrapper for the alpha/beta DP kernels over the batch
+    axis.  ``arg_kinds``: one of "tbs" ([T, B, S]), "tb" ([T, B]) or
+    "bs" ([B, S]) per positional argument; output is [T, B, S].  A raw
+    pallas_call inside a GSPMD jit would be replicated (all-gathered);
+    per-shard invocation keeps the DP partitioning end-to-end."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    kind_spec = {"tbs": P(None, axis, None),
+                 "tb": P(None, axis),
+                 "bs": P(axis, None)}
+    in_specs = tuple(kind_spec[k] for k in arg_kinds)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
 
 
 def _pallas_blocks(batch: int, ext_len: int,
@@ -123,7 +164,8 @@ def _lattice(labels, label_length, blank_id):
     return ext, valid, can_skip
 
 
-def _forward(logits, sequence_length, labels, label_length, blank_id):
+def _forward(logits, sequence_length, labels, label_length, blank_id,
+             mesh=None):
     """Returns (loss [B], residuals for the backward pass)."""
     batch, max_t, _ = logits.shape
     ext, valid, can_skip = _lattice(labels, label_length, blank_id)
@@ -141,18 +183,28 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    use_pallas = _use_pallas()
-    blocks = _pallas_blocks(batch, ext.shape[1]) if use_pallas else None
+    use_pallas = _use_pallas(mesh)
+    n_shards = _mesh_shards(mesh, batch)
+    if n_shards > 1 and batch % n_shards != 0:
+        use_pallas = False   # indivisible batch → replicated; keep scan
+    # block sizing sees the PER-SHARD batch: under GSPMD this function
+    # traces with the global batch, but each device only ever holds
+    # batch/n_shards rows
+    blocks = _pallas_blocks(batch // n_shards, ext.shape[1]) \
+        if use_pallas else None
     if use_pallas and blocks is None:
-        _warn_scan_fallback(batch, ext.shape[1])
+        _warn_scan_fallback(batch // n_shards, ext.shape[1])
     if blocks is not None:
         from .ctc_pallas import alpha_pallas
         batch_block, time_block = blocks
         interpret = jax.default_backend() == "cpu"
-        alpha_all = alpha_pallas(lp_ext, time_mask, valid, can_skip, alpha0,
-                                 interpret=interpret,
-                                 time_block=time_block,
-                                 batch_block=batch_block)
+        run_alpha = functools.partial(
+            alpha_pallas, interpret=interpret, time_block=time_block,
+            batch_block=batch_block)
+        if n_shards > 1:
+            run_alpha = _shard_dp_kernel(
+                mesh, run_alpha, ("tbs", "tb", "bs", "bs", "bs"))
+        alpha_all = run_alpha(lp_ext, time_mask, valid, can_skip, alpha0)
         alpha_last = alpha_all[-1]
     else:
         def fwd_step(alpha, inputs):
@@ -189,7 +241,7 @@ def _forward(logits, sequence_length, labels, label_length, blank_id):
     return loss, residuals
 
 
-def _backward(residuals, grad_loss):
+def _backward(residuals, grad_loss, mesh=None):
     """Analytic gradient: softmax - occupancy, scaled per-row by the
     upstream cotangent of each sequence's loss."""
     (log_probs, lp_ext, alpha_all, log_lik, feasible,
@@ -217,16 +269,24 @@ def _backward(residuals, grad_loss):
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
 
-    blocks = _pallas_blocks(batch, ext_len) if _use_pallas() else None
+    use_pallas = _use_pallas(mesh)
+    n_shards = _mesh_shards(mesh, batch)
+    if n_shards > 1 and batch % n_shards != 0:
+        use_pallas = False
+    blocks = _pallas_blocks(batch // n_shards, ext_len) \
+        if use_pallas else None
     if blocks is not None:
         from .ctc_pallas import beta_pallas
         batch_block, time_block = blocks
         interpret = jax.default_backend() == "cpu"
-        beta_all = beta_pallas(lp_ext, time_mask, is_last, valid,
-                               skip_from, final_mask & valid,
-                               interpret=interpret,
-                               time_block=time_block,
-                               batch_block=batch_block)
+        run_beta = functools.partial(
+            beta_pallas, interpret=interpret, time_block=time_block,
+            batch_block=batch_block)
+        if n_shards > 1:
+            run_beta = _shard_dp_kernel(
+                mesh, run_beta, ("tbs", "tb", "tb", "bs", "bs", "bs"))
+        beta_all = run_beta(lp_ext, time_mask, is_last, valid,
+                            skip_from, final_mask & valid)
     else:
         def bwd_step(beta, inputs):
             lp, alive, last = inputs
@@ -267,33 +327,44 @@ def _backward(residuals, grad_loss):
     return grad.astype(dtype_sentinel.dtype)
 
 
-@jax.custom_vjp
-def _ctc_core(logits, sequence_length, labels, label_length, blank_id):
-    loss, _ = _forward(logits, sequence_length, labels, label_length,
-                       blank_id)
-    return loss
+@functools.lru_cache(maxsize=8)
+def _make_ctc_core(mesh):
+    """custom_vjp CTC core closed over the (static, hashable) mesh: on a
+    multi-device mesh the Pallas alpha/beta kernels run per-shard under
+    shard_map (a raw pallas_call in a GSPMD jit would be all-gathered).
+    ``mesh=None`` → the single-device/jit-partitioned form."""
 
+    @jax.custom_vjp
+    def core(logits, sequence_length, labels, label_length, blank_id):
+        loss, _ = _forward(logits, sequence_length, labels, label_length,
+                           blank_id, mesh=mesh)
+        return loss
 
-def _ctc_core_fwd(logits, sequence_length, labels, label_length, blank_id):
-    loss, residuals = _forward(logits, sequence_length, labels,
-                               label_length, blank_id)
-    return loss, residuals
+    def core_fwd(logits, sequence_length, labels, label_length, blank_id):
+        loss, residuals = _forward(logits, sequence_length, labels,
+                                   label_length, blank_id, mesh=mesh)
+        return loss, residuals
 
+    def core_bwd(residuals, grad_loss):
+        grad_logits = _backward(residuals, grad_loss, mesh=mesh)
+        return grad_logits, None, None, None, None
 
-def _ctc_core_bwd(residuals, grad_loss):
-    grad_logits = _backward(residuals, grad_loss)
-    return grad_logits, None, None, None, None
-
-
-_ctc_core.defvjp(_ctc_core_fwd, _ctc_core_bwd)
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
 def ctc_loss(logits: jnp.ndarray,
              sequence_length: jnp.ndarray,
              labels: jnp.ndarray,
              label_length: Optional[jnp.ndarray] = None,
-             blank_id: Optional[int] = None) -> jnp.ndarray:
-    """Per-sequence negative log-likelihood, shape [B]."""
+             blank_id: Optional[int] = None,
+             mesh=None) -> jnp.ndarray:
+    """Per-sequence negative log-likelihood, shape [B].
+
+    ``mesh``: optional jax.sharding.Mesh for data-parallel training —
+    gates the Pallas DP kernels through shard_map so the batch-sharded
+    lattice never gets all-gathered (train/graph.py threads
+    ``config["mesh"]``)."""
     num_classes = logits.shape[2]
     if blank_id is None:
         blank_id = num_classes - 1
@@ -310,5 +381,5 @@ def ctc_loss(logits: jnp.ndarray,
         return -jnp.sum(
             jnp.where(mask, log_probs[:, :, blank_id], 0.0),
             axis=1).astype(logits.dtype)
-    return _ctc_core(logits, sequence_length, labels, label_length,
-                     blank_id)
+    return _make_ctc_core(mesh)(logits, sequence_length, labels,
+                                label_length, blank_id)

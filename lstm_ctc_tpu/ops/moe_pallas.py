@@ -559,6 +559,60 @@ def moe_mix_fused(x: jnp.ndarray,
     return out[:n]
 
 
+def moe_mix_sharded(mesh,
+                    x: jnp.ndarray,
+                    w_expert: jnp.ndarray,
+                    b_expert: jnp.ndarray,
+                    gate: jnp.ndarray,
+                    num_experts: int,
+                    moe_temperature: float,
+                    keep_prob: float = 1.0,
+                    seed=None,
+                    compute_dtype=jnp.bfloat16,
+                    n_block: int = N_BLOCK,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Data-parallel wrapper: the fused expert-mix kernel runs per-shard
+    under ``shard_map`` over the row axis of ``x``/``gate`` with the
+    expert weights replicated.
+
+    GSPMD cannot partition a custom call: a raw ``pallas_call`` inside a
+    jit over a multi-device mesh would be ALL-GATHERED onto every device
+    — for the flagship model that is the dominant matmul of the whole
+    network, so replication forfeits DP scaling exactly where it matters
+    (same rationale as lstm_pallas.bilstm_dual_scan_sharded).
+    shard_map's transpose psums the weight cotangents across the mesh,
+    which is the DP gradient all-reduce.
+
+    Requires ``x.shape[0] % mesh.size == 0`` (callers fall back to the
+    plain XLA mix otherwise — GSPMD partitions that fine).  When
+    keep_prob < 1, each shard offsets the dropout seed by its mesh
+    position: the kernel's hash counter indexes LOCAL rows, which repeat
+    per shard and would otherwise produce identical masks everywhere.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    dp, rep = P(axis), P()
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+
+    def per_shard(xs, w, b, gs, sd):
+        if keep_prob < 1.0:
+            sd = sd + jax.lax.axis_index(axis).astype(jnp.int32) * 7919
+        return moe_mix_fused(
+            xs, w, b, gs, num_experts, moe_temperature,
+            keep_prob=keep_prob, seed=sd, compute_dtype=compute_dtype,
+            n_block=n_block, interpret=interpret)
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(dp, rep, rep, dp, rep),
+        out_specs=dp,
+        check_vma=False,
+    )(x, w_expert, b_expert, gate, seed)
+
+
 def moe_mix_reference(x, w_expert, b_expert, gate, num_experts,
                       moe_temperature, keep_prob=1.0, seed=None,
                       n_block: int = N_BLOCK):

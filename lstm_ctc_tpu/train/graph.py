@@ -106,16 +106,19 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                 tier_logits = flat[batch["utt_time_index"][sl, :width]]
                 parts.append(ctc_loss(
                     tier_logits, batch["utt_sequence_length"][sl],
-                    batch["nnet_target"][sl], batch["target_length"][sl]))
+                    batch["nnet_target"][sl], batch["target_length"][sl],
+                    mesh=config.get("mesh")))
             per_seq = jnp.concatenate(parts)
         else:
             ctc_logits = flat[batch["utt_time_index"]]   # [N, T_u, V]
             per_seq = ctc_loss(ctc_logits, batch["utt_sequence_length"],
                                batch["nnet_target"],
-                               batch["target_length"])
+                               batch["target_length"],
+                               mesh=config.get("mesh"))
     else:
         per_seq = ctc_loss(logits, batch["sequence_length"],
-                           batch["nnet_target"], batch["target_length"])
+                           batch["nnet_target"], batch["target_length"],
+                           mesh=config.get("mesh"))
     eval_loss = jnp.sum(per_seq)
     size = jnp.sum((batch["nnet_target"] >= 0).astype(jnp.int32))
     loss = eval_loss

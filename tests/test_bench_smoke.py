@@ -32,7 +32,7 @@ def test_bench_smoke_emits_full_json():
     labels = {row["config"] for row in data["configs"]}
     assert {"flagship_b32_t384", "flagship_b64_t384",
             "recipe_packed_pf3_b32", "lstm_b32_t384",
-            "cudnnlstm_b32_t384"} <= labels
+            "cudnnlstm_b32_t384", "lstm_bn_b32_t384"} <= labels
     errors = [row for row in data["configs"] if "error" in row]
     assert not errors, errors
     for row in data["configs"]:
