@@ -321,6 +321,7 @@ def main():
         "metric": "train_frames_per_sec_per_chip",
         "value": None,
         "unit": "frames/s",
+        "mfu": None,
         "vs_baseline": None,
         "baseline_note": "vs_baseline divides by an ASSUMED 15k frames/s "
                          "V100/TF1.8 figure — the conservative end of a "
@@ -358,6 +359,10 @@ def main():
     rows.append({"config": "flagship_b32_t384",
                  "frames_per_sec": round(fps32, 1), "mfu": mfu(fps32)})
     result["value"] = round(fps32, 1)
+    # MFU is the defensible headline (analytic FLOPs / measured rate /
+    # documented chip peak); vs_baseline rests on an ASSUMED V100 figure
+    # and stays a footnote
+    result["mfu"] = mfu(fps32)
     result["vs_baseline"] = round(fps32 / ASSUMED_V100_FRAMES_PER_SEC, 3)
     emit()
 

@@ -2,11 +2,24 @@
 """Generate the synthetic tone-word corpus for the end-to-end recipe.
 
 Each phone is a pure tone at a distinct frequency (80-140 ms); words are
-2-3-phone sequences; utterances sample 2-5 words.  Emits Kaldi-style data
+2-4-phone sequences; utterances sample 2-5 words.  Emits Kaldi-style data
 dirs (wav.scp, text, utt2spk, spk2utt) plus the dict dir (lexicon.txt,
 units.txt, lexicon_numbers.txt).
 
+Two difficulty profiles:
+
+  * ``easy`` (default) — widely-spaced tones (22%/step), ~40 dB SNR:
+    the model saturates at ~0% WER, proving the pipeline end-to-end.
+  * ``hard`` (``--hard``) — a NON-SATURATED accuracy gate: tones 9%
+    apart (inside one low-frequency mel bin's width), ~10 dB SNR,
+    shorter tones with per-token amplitude and frequency jitter, and a
+    larger vocabulary full of minimal pairs.  Calibrated so 3-seed WER
+    lands in a 5-20%% band where a real regression (mixed-precision
+    drift, a 10x learning rate, a broken kernel) visibly moves the
+    number instead of hiding under a ceiling.
+
 Usage: gen_data.py <out-root> [num_train] [num_dev] [num_test] [seed]
+                   [--hard]
 """
 
 import os
@@ -16,7 +29,6 @@ import sys
 import numpy as np
 
 PHONES = ["aa", "iy", "uw", "eh", "ow", "k", "s", "m", "t", "r"]
-FREQS = [220.0 * (1.22 ** i) for i in range(len(PHONES))]
 WORDS = {
     "kam": ["k", "aa", "m"],
     "sit": ["s", "iy", "t"],
@@ -27,7 +39,42 @@ WORDS = {
     "sura": ["s", "uw", "r", "aa"],
     "kit": ["k", "iy", "t"],
 }
+# hard mode adds minimal pairs / near-anagrams of the base words — the
+# decoder has to separate words that differ by one confusable phone
+HARD_EXTRA_WORDS = {
+    "sam": ["s", "aa", "m"],      # vs kam (k/s onset)
+    "kat": ["k", "aa", "t"],      # vs kam (m/t coda), kit (aa/iy)
+    "mit": ["m", "iy", "t"],      # vs sit/kit (onset)
+    "rit": ["r", "iy", "t"],      # vs sit/kit/mit
+    "sot": ["s", "ow", "t"],      # vs sit (iy/ow)
+    "tesko": ["t", "eh", "s", "k"],   # vs tesso (ow/k coda)
+    "mura": ["m", "uw", "r", "aa"],   # vs sura (onset), mira (iy/uw)
+    "ook": ["uw", "k"],           # vs oak (ow/uw)
+}
 RATE = 16000
+
+
+class Profile:
+    """Synthesis parameters per difficulty profile."""
+
+    def __init__(self, hard):
+        self.hard = hard
+        if hard:
+            # 9% frequency steps: adjacent phones land within one mel
+            # bin's width at the low end of a 40-bin bank
+            self.freqs = [220.0 * (1.09 ** i) for i in range(len(PHONES))]
+            self.noise_sigma = 2000.0
+            self.dur_lo, self.dur_hi = 0.045, 0.09
+            self.amp_lo, self.amp_hi = 2500.0, 6000.0
+            self.freq_jitter = 0.03
+            self.words = dict(WORDS, **HARD_EXTRA_WORDS)
+        else:
+            self.freqs = [220.0 * (1.22 ** i) for i in range(len(PHONES))]
+            self.noise_sigma = 60.0
+            self.dur_lo, self.dur_hi = 0.08, 0.14
+            self.amp_lo = self.amp_hi = 6000.0
+            self.freq_jitter = 0.0
+            self.words = dict(WORDS)
 
 
 def write_wav(path, samples):
@@ -39,26 +86,34 @@ def write_wav(path, samples):
         fh.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
-def synth_utt(words, rng):
+def synth_utt(words, rng, prof):
     chunks = [np.zeros(int(0.05 * RATE))]
     for word in words:
-        for ph in WORDS[word]:
-            freq = FREQS[PHONES.index(ph)]
-            dur = rng.uniform(0.08, 0.14)
+        for ph in prof.words[word]:
+            freq = prof.freqs[PHONES.index(ph)]
+            if prof.freq_jitter:
+                freq *= 1.0 + rng.uniform(-prof.freq_jitter,
+                                          prof.freq_jitter)
+            dur = rng.uniform(prof.dur_lo, prof.dur_hi)
+            amp = rng.uniform(prof.amp_lo, prof.amp_hi)
             t = np.arange(int(dur * RATE)) / RATE
             env = np.minimum(1.0, np.minimum(t / 0.01, (dur - t) / 0.01))
-            tone = 6000.0 * env * np.sin(2 * np.pi * freq * t)
-            chunks.append(tone + 60.0 * rng.randn(len(t)))
-        chunks.append(np.zeros(int(rng.uniform(0.03, 0.08) * RATE)))
+            tone = amp * env * np.sin(2 * np.pi * freq * t)
+            chunks.append(tone
+                          + prof.noise_sigma * rng.randn(len(t)))
+        chunks.append(prof.noise_sigma
+                      * rng.randn(int(rng.uniform(0.03, 0.08) * RATE))
+                      if prof.hard else
+                      np.zeros(int(rng.uniform(0.03, 0.08) * RATE)))
     return np.concatenate(chunks)
 
 
-def make_set(root, name, count, rng):
+def make_set(root, name, count, rng, prof):
     dset = os.path.join(root, "data", name)
     wav_dir = os.path.join(root, "wav", name)
     os.makedirs(dset, exist_ok=True)
     os.makedirs(wav_dir, exist_ok=True)
-    word_list = sorted(WORDS)
+    word_list = sorted(prof.words)
     with open(os.path.join(dset, "wav.scp"), "w") as wscp, \
             open(os.path.join(dset, "text"), "w") as text, \
             open(os.path.join(dset, "utt2spk"), "w") as u2s, \
@@ -69,7 +124,7 @@ def make_set(root, name, count, rng):
             words = [word_list[rng.randint(len(word_list))]
                      for _ in range(rng.randint(2, 6))]
             wav_path = os.path.join(wav_dir, utt + ".wav")
-            write_wav(wav_path, synth_utt(words, rng))
+            write_wav(wav_path, synth_utt(words, rng, prof))
             wscp.write("%s %s\n" % (utt, wav_path))
             text.write("%s %s\n" % (utt, " ".join(words)))
             u2s.write("%s global\n" % utt)
@@ -78,32 +133,36 @@ def make_set(root, name, count, rng):
 
 
 def main():
-    root = sys.argv[1]
-    num_train = int(sys.argv[2]) if len(sys.argv) > 2 else 80
-    num_dev = int(sys.argv[3]) if len(sys.argv) > 3 else 12
-    num_test = int(sys.argv[4]) if len(sys.argv) > 4 else 12
-    seed = int(sys.argv[5]) if len(sys.argv) > 5 else 7
+    args = [a for a in sys.argv[1:] if a != "--hard"]
+    prof = Profile(hard="--hard" in sys.argv[1:])
+    root = args[0]
+    num_train = int(args[1]) if len(args) > 1 else 80
+    num_dev = int(args[2]) if len(args) > 2 else 12
+    num_test = int(args[3]) if len(args) > 3 else 12
+    seed = int(args[4]) if len(args) > 4 else 7
     rng = np.random.RandomState(seed)
 
     dict_dir = os.path.join(root, "data", "dict")
     os.makedirs(dict_dir, exist_ok=True)
     with open(os.path.join(dict_dir, "lexicon.txt"), "w") as fh:
         fh.write("<UNK> %s\n" % PHONES[0])
-        for word in sorted(WORDS):
-            fh.write("%s %s\n" % (word, " ".join(WORDS[word])))
+        for word in sorted(prof.words):
+            fh.write("%s %s\n" % (word, " ".join(prof.words[word])))
     with open(os.path.join(dict_dir, "units.txt"), "w") as fh:
         for i, ph in enumerate(PHONES):
             fh.write("%s %d\n" % (ph, i + 1))
     with open(os.path.join(dict_dir, "lexicon_numbers.txt"), "w") as fh:
         fh.write("<UNK> %d\n" % (PHONES.index(PHONES[0]) + 1))
-        for word in sorted(WORDS):
-            ids = " ".join(str(PHONES.index(p) + 1) for p in WORDS[word])
+        for word in sorted(prof.words):
+            ids = " ".join(str(PHONES.index(p) + 1)
+                           for p in prof.words[word])
             fh.write("%s %s\n" % (word, ids))
 
-    make_set(root, "train", num_train, rng)
-    make_set(root, "dev", num_dev, rng)
-    make_set(root, "test", num_test, rng)
-    print("generated corpus under %s" % root)
+    make_set(root, "train", num_train, rng, prof)
+    make_set(root, "dev", num_dev, rng, prof)
+    make_set(root, "test", num_test, rng, prof)
+    print("generated %s corpus under %s"
+          % ("hard" if prof.hard else "easy", root))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,12 @@ num_projects=32
 learn_rate=0.006
 batch_size=8
 num_train=80
+num_test=12
 seed=7
+profile=easy      # easy = saturated pipeline proof (~0% WER);
+                  # hard = non-saturated accuracy gate (confusable
+                  # tones + noise; WER calibrated into a 5-20% band
+                  # where regressions are visible — gen_data.py)
 nj=2              # decode/record conversion fan-out
 compute_dtype=    # set to bfloat16 to run matmuls in bf16 (accuracy
                   # gate for flipping the TPU default; docs/BENCHMARKS.md)
@@ -44,7 +49,10 @@ mkdir -p "$work"
 
 if [ "$stage" -le 0 ]; then
   echo "===== stage 0: data generation ====="
-  $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 12
+  hard_flag=""
+  [ "$profile" = "hard" ] && hard_flag="--hard"
+  $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 \
+    "$num_test" 7 $hard_flag
   $PYTHON "$BIN/train-lm.py" --order 2 "$work/data/train/text" \
     > "$work/data/lm.arpa"
 fi

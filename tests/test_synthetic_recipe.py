@@ -35,3 +35,36 @@ def test_synthetic_recipe_end_to_end(tmp_path):
     assert match, "no WER summary in:\n%s" % proc.stdout[-2000:]
     wer = float(match.group(1))
     assert wer < 0.25, "recipe WER too high: %.3f" % wer
+
+
+def test_gen_data_hard_profile(tmp_path):
+    """The non-saturated accuracy-gate corpus (--hard): larger
+    minimal-pair vocabulary, noisy confusable tones — dict and data
+    dirs must materialize with the extended lexicon and the same phone
+    inventory (the network output size must not change)."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "egs", "synthetic", "local", "gen_data.py"),
+         str(tmp_path), "4", "2", "2", "7", "--hard"],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr
+    lex = open(os.path.join(str(tmp_path), "data", "dict",
+                            "lexicon.txt")).read().split("\n")
+    words = {line.split()[0] for line in lex if line}
+    assert {"kam", "sam", "kat", "mit", "tesko", "mura"} <= words
+    units = open(os.path.join(str(tmp_path), "data", "dict",
+                              "units.txt")).read().strip().split("\n")
+    assert len(units) == 10          # phone inventory unchanged
+    # audio exists and is non-trivially sized
+    wav_dir = os.path.join(str(tmp_path), "wav", "train")
+    assert len(os.listdir(wav_dir)) == 4
+    # easy and hard corpora must differ (noise/vocab actually applied)
+    proc2 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "egs", "synthetic", "local", "gen_data.py"),
+         str(tmp_path / "easy"), "4", "2", "2", "7"],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc2.returncode == 0, proc2.stderr
+    lex2 = open(os.path.join(str(tmp_path / "easy"), "data", "dict",
+                             "lexicon.txt")).read()
+    assert "tesko" not in lex2
