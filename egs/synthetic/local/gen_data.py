@@ -55,23 +55,38 @@ RATE = 16000
 
 
 class Profile:
-    """Synthesis parameters per difficulty profile."""
+    """Synthesis parameters per difficulty profile.
 
-    def __init__(self, hard):
+    The hard defaults are CALIBRATED, not maximal: a 9%/step frequency
+    grid under ~10 dB SNR pins the loss at ln(V) (nothing learnable by
+    this model size/budget — measured), while the shipped 14%/step +
+    sigma 1200 lands 3-seed WER in the target 5-20%% band.  The knobs
+    stay overridable for re-calibration (--noise-sigma / --freq-step /
+    --dur-lo/--dur-hi)."""
+
+    def __init__(self, hard, noise_sigma=None, freq_step=None,
+                 dur_lo=None, dur_hi=None):
         self.hard = hard
         if hard:
-            # 9% frequency steps: adjacent phones land within one mel
-            # bin's width at the low end of a 40-bin bank
-            self.freqs = [220.0 * (1.09 ** i) for i in range(len(PHONES))]
-            self.noise_sigma = 2000.0
-            self.dur_lo, self.dur_hi = 0.045, 0.09
-            self.amp_lo, self.amp_hi = 2500.0, 6000.0
+            # 14% steps: ~10 phones over ~10 mel bins in a 40-bin bank —
+            # adjacent phones share bin edges without collapsing into
+            # the same bin
+            step = freq_step or 1.14
+            self.freqs = [220.0 * (step ** i) for i in range(len(PHONES))]
+            self.noise_sigma = (noise_sigma if noise_sigma is not None
+                                else 1200.0)
+            self.dur_lo = dur_lo or 0.06
+            self.dur_hi = dur_hi or 0.11
+            self.amp_lo, self.amp_hi = 3000.0, 6000.0
             self.freq_jitter = 0.03
             self.words = dict(WORDS, **HARD_EXTRA_WORDS)
         else:
-            self.freqs = [220.0 * (1.22 ** i) for i in range(len(PHONES))]
-            self.noise_sigma = 60.0
-            self.dur_lo, self.dur_hi = 0.08, 0.14
+            step = freq_step or 1.22
+            self.freqs = [220.0 * (step ** i) for i in range(len(PHONES))]
+            self.noise_sigma = (noise_sigma if noise_sigma is not None
+                                else 60.0)
+            self.dur_lo = dur_lo or 0.08
+            self.dur_hi = dur_hi or 0.14
             self.amp_lo = self.amp_hi = 6000.0
             self.freq_jitter = 0.0
             self.words = dict(WORDS)
@@ -133,8 +148,22 @@ def make_set(root, name, count, rng, prof):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--hard"]
-    prof = Profile(hard="--hard" in sys.argv[1:])
+    argv = sys.argv[1:]
+    opts = {}
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--hard":
+            opts["hard"] = True
+        elif a in ("--noise-sigma", "--freq-step", "--dur-lo",
+                   "--dur-hi"):
+            opts[a[2:].replace("-", "_")] = float(argv[i + 1])
+            i += 1
+        else:
+            args.append(a)
+        i += 1
+    prof = Profile(hard=opts.pop("hard", False), **opts)
     root = args[0]
     num_train = int(args[1]) if len(args) > 1 else 80
     num_dev = int(args[2]) if len(args) > 2 else 12
