@@ -236,18 +236,20 @@ def test_unroll_env_participates_in_kernel_cache_key(monkeypatch):
     from lstm_ctc_tpu.ops import lstm_pallas
 
     fw, bw, x, x_rev, seq_len = make_case(7)
+    # the factory cache is process-global and shared across tests —
+    # reset it so the entry counting is order-independent
+    lstm_pallas._make_fused.cache_clear()
     monkeypatch.setenv("LSTM_CTC_TPU_KERNEL_UNROLL", "1")
-    base = lstm_pallas._make_fused.cache_info().currsize
     got1 = bilstm_dual_scan_fused(fw, bw, x, x_rev, seq_len, FORGET_BIAS,
                                   time_block=8, store_dtype="float32",
                                   interpret=True)
     size1 = lstm_pallas._make_fused.cache_info().currsize
-    assert size1 >= base + 1
+    assert size1 == 1
     monkeypatch.setenv("LSTM_CTC_TPU_KERNEL_UNROLL", "4")
     got4 = bilstm_dual_scan_fused(fw, bw, x, x_rev, seq_len, FORGET_BIAS,
                                   time_block=8, store_dtype="float32",
                                   interpret=True)
-    assert lstm_pallas._make_fused.cache_info().currsize == size1 + 1, \
+    assert lstm_pallas._make_fused.cache_info().currsize == 2, \
         "unroll change did not produce a fresh kernel cache entry"
     for a, b in zip(jax.tree_util.tree_leaves(got1),
                     jax.tree_util.tree_leaves(got4)):
