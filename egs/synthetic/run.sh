@@ -33,6 +33,7 @@ profile=easy      # easy = saturated pipeline proof (~0% WER);
                   # hard = non-saturated accuracy gate (confusable
                   # tones + noise; WER calibrated into a 5-20% band
                   # where regressions are visible — gen_data.py)
+gen_extra=""      # extra gen_data.py flags (e.g. "--freq-step 1.16")
 nj=2              # decode/record conversion fan-out
 compute_dtype=    # set to bfloat16 to run matmuls in bf16 (accuracy
                   # gate for flipping the TPU default; docs/BENCHMARKS.md)
@@ -51,8 +52,9 @@ if [ "$stage" -le 0 ]; then
   echo "===== stage 0: data generation ====="
   hard_flag=""
   [ "$profile" = "hard" ] && hard_flag="--hard"
+  # shellcheck disable=SC2086
   $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 \
-    "$num_test" 7 $hard_flag
+    "$num_test" 7 $hard_flag $gen_extra
   $PYTHON "$BIN/train-lm.py" --order 2 "$work/data/train/text" \
     > "$work/data/lm.arpa"
 fi
