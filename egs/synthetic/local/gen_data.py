@@ -50,6 +50,11 @@ HARD_EXTRA_WORDS = {
     "tesko": ["t", "eh", "s", "k"],   # vs tesso (ow/k coda)
     "mura": ["m", "uw", "r", "aa"],   # vs sura (onset), mira (iy/uw)
     "ook": ["uw", "k"],           # vs oak (ow/uw)
+    # TRUE homophones under the hard profile's k/t frequency alias —
+    # identical audio, resolvable only by the LM prior: a stable,
+    # budget-immune WER floor (see Profile docstring)
+    "tam": ["t", "aa", "m"],      # ≡ kam acoustically
+    "oat": ["ow", "t"],           # ≡ oak acoustically
 }
 RATE = 16000
 
@@ -57,25 +62,42 @@ RATE = 16000
 class Profile:
     """Synthesis parameters per difficulty profile.
 
-    The hard defaults are CALIBRATED, not maximal.  Measured frame-level
-    phone separability (nearest-centroid on CMVN'd fbank center frames)
-    across the knobs: step 1.22 → 1.00 (the saturated easy grid), 1.18 →
-    0.96, 1.14 → 0.83 regardless of noise in [60, 2000] — spacing, not
-    SNR, is the dominant lever, because the tones are narrowband and mel
-    energy concentrates.  The 0.83 regime pins CTC training at ~ln(V)
-    for the recipe budget (measured: two 25-iteration runs stuck at
-    cv_eval ≥ 0.97); the shipped 1.18 + sigma 1200 is the learnable-but-
-    non-saturated point.  Knobs stay overridable for re-calibration
-    (--noise-sigma / --freq-step / --dur-lo/--dur-hi)."""
+    The hard defaults are CALIBRATED, not maximal — two measured
+    findings shaped them:
+
+    1. Frame-level phone separability (nearest-centroid on CMVN'd fbank
+       center frames) is controlled by SPACING, not SNR (narrowband
+       tones concentrate mel energy): step 1.22 → 1.00, 1.18 → 0.96,
+       1.14 → 0.83 regardless of noise in [60, 2000].  The 0.83 regime
+       is unlearnable at recipe budgets (CTC pinned at ~ln V), while
+       anything ≥ 0.90 SATURATES once the budget is generous (measured
+       WER sweep at 160 utts / 60 iters: step 1.18 → ~0%, 1.16 → 4.7%,
+       1.15 → 0.0%, 1.13 → ~2% — per-run variance straddles zero, so
+       spacing alone cannot hold a non-zero band).
+    2. The stable non-zero floor therefore comes from TRUE AMBIGUITY,
+       not marginal acoustics: the k/t frequency alias makes kam/tam
+       and oak/oat exact homophones that only the LM prior can resolve
+       — an irreducible error floor no training budget erases — while
+       the 1.15 spacing keeps the rest merely hard (regression-
+       sensitive).  Measured at the protocol budget (160 train utts,
+       60 iters, keep-lr 30): 14.8% WER, mixed sub/ins/del.
+
+    Knobs stay overridable for re-calibration (--noise-sigma /
+    --freq-step / --dur-lo/--dur-hi)."""
 
     def __init__(self, hard, noise_sigma=None, freq_step=None,
                  dur_lo=None, dur_hi=None):
         self.hard = hard
         if hard:
-            # 18% steps: ~96% frame-level separability — hard enough to
-            # leave word errors, easy enough to train at recipe budget
-            step = freq_step or 1.18
+            # 15% steps: marginal-but-learnable separability (the
+            # regression-sensitive part of the gate)
+            step = freq_step or 1.15
             self.freqs = [220.0 * (step ** i) for i in range(len(PHONES))]
+            # k/t frequency ALIAS: "t" borrows "k"'s tone, making the
+            # twin words (kam/tam, oak/oat) true homophones — an
+            # irreducible, seed-stable WER floor no training budget can
+            # erase, so the gate can never saturate back to 0%
+            self.freqs[PHONES.index("t")] = self.freqs[PHONES.index("k")]
             self.noise_sigma = (noise_sigma if noise_sigma is not None
                                 else 1200.0)
             self.dur_lo = dur_lo or 0.06
