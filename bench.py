@@ -285,6 +285,47 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
     return mean_real / dt, fill
 
 
+def bench_mesh(config, batch_per_device, time_steps, jax):
+    """Data-parallel scaling row: the SAME jitted train step over a 1-D
+    mesh of ALL local devices (parallel/mesh.py), batch sharded on the
+    batch axis, params replicated — ``config["mesh"]`` gates the Pallas
+    kernels through shard_map exactly as a real pod run would
+    (models/blstm, models/moe, ops/ctc).  Global batch =
+    batch_per_device · n_devices; returns (global frames/s, n_devices).
+
+    The driver environment exposes ONE physical chip, so this row only
+    appears when jax reports more than one device (a real pod, or the
+    CPU smoke tier under --xla_force_host_platform_device_count)."""
+    from __graft_entry__ import _example_batch
+    from lstm_ctc_tpu.models import init_model
+    from lstm_ctc_tpu.parallel.mesh import (get_mesh, replicated_sharding,
+                                            shard_batch)
+    from lstm_ctc_tpu.train.graph import make_train_step
+
+    mesh = get_mesh()
+    n_dev = mesh.devices.size
+    cfg = dict(config, mesh=mesh)
+    global_batch = batch_per_device * n_dev
+    batch = _example_batch(cfg, batch=global_batch, time_steps=time_steps)
+    batch = shard_batch(mesh, batch)
+    params0, net_state0 = init_model(jax.random.PRNGKey(0), cfg)
+    init_opt, train_step = make_train_step(
+        cfg, learn_rate=1e-3, optimizer="adam")
+    rep = replicated_sharding(mesh)
+    rng = jax.device_put(jax.random.PRNGKey(1), rep)
+    state = {"p": jax.device_put(params0, rep),
+             "s": jax.device_put(net_state0, rep)}
+    state["o"] = init_opt(state["p"])
+
+    def run_once():
+        state["p"], state["o"], state["s"], state["m"] = train_step(
+            state["p"], state["o"], state["s"], rng, batch)
+
+    dt = _time_steps_loop(run_once,
+                          lambda: _sync(state["m"]["eval_loss"]))
+    return global_batch * time_steps / dt, n_dev
+
+
 _SMOKE = False
 
 
@@ -382,6 +423,22 @@ def main():
 
     try_row("flagship_b64_t384", row_b64)
     try_row("recipe_packed_pf3_b32", row_packed)
+
+    # DP over a real device mesh — only when more than one device exists
+    # (the driver has one chip; CI exercises this on a forced 8-device
+    # CPU mesh, and a real pod picks it up with no code change)
+    if jax.device_count() > 1:
+        def row_mesh():
+            fps_mesh, n_dev = bench_mesh(config, bench_b, bench_t, jax)
+            return {"config": "mesh_dp%d_b%dx%d_t384"
+                              % (n_dev, bench_b, n_dev),
+                    "frames_per_sec": round(fps_mesh, 1),
+                    "frames_per_sec_per_chip": round(fps_mesh / n_dev, 1),
+                    "mfu": mfu(fps_mesh / n_dev),
+                    "note": "global frames/s over a %d-device DP mesh; "
+                            "mfu is per-chip" % n_dev}
+
+        try_row("mesh_dp", row_mesh)
 
     # unidirectional families — the wavefront whole-stack kernel path
     # (ops/lstm_stack_pallas.py); lstm_bn trains with batch-norm between

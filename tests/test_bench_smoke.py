@@ -39,6 +39,32 @@ def test_bench_smoke_emits_full_json():
         assert row["frames_per_sec"] > 0
 
 
+def test_bench_smoke_mesh_row_on_multi_device():
+    """With >1 device visible, the bench must add the DP-mesh row (the
+    sharded train step over all local devices) — exercised here on a
+    forced 8-device CPU mesh; a real pod picks it up with no change."""
+    env = dict(os.environ)
+    xla_flags = env.get("XLA_FLAGS", "")
+    env.update(JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(xla_flags
+                          + " --xla_force_host_platform_device_count=8"),
+               LSTM_CTC_TPU_LSTM_IMPL="scan",
+               LSTM_CTC_TPU_CTC_IMPL="scan")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--smoke"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1500)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    mesh_rows = [row for row in data["configs"]
+                 if row["config"].startswith("mesh_dp")]
+    assert len(mesh_rows) == 1, data["configs"]
+    row = mesh_rows[0]
+    assert "error" not in row, row
+    assert row["config"] == "mesh_dp8_b4x8_t384"
+    assert row["frames_per_sec"] > 0
+    assert row["frames_per_sec_per_chip"] > 0
+
+
 def test_bench_deadline_degrades_to_fewer_rows():
     """With an exhausted row deadline the bench must still exit 0 with a
     parsable result: headline row present, secondary rows marked
