@@ -460,7 +460,10 @@ def _make_fused(time_steps, batch, num_units, out_dim, forget_bias,
     # the per-kernel cap instead of shrinking the time block.
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),  # sequential carry over blocks
-        vmem_limit_bytes=100 * 1024 * 1024)
+        # 110 MB matches the backward kernel's cap; the tb·2B=4096-row
+        # forward (B=64 tb=32 / B=128 tb=16) measures 100.9 MB and was
+        # 912 KB over the previous 100 MB cap (v5e has 128 MB physical)
+        vmem_limit_bytes=110 * 1024 * 1024)
 
     def pallas_fwd(gx, mask, whf, whb, projf, projb, wi, wf, wo):
         outs = pl.pallas_call(
@@ -670,7 +673,14 @@ def _auto_time_block(batch):
     """Largest time block whose double-buffered backward streams fit the
     raised VMEM cap: the streamed block is tb*2B rows; tb*2B = 2048
     measures ~50 MB at H=P=320 (fits), while 4096 rows overflowed the
-    100 MB cap (B=64, tb=32), so bound tb*2B <= 2048."""
+    100 MB cap (B=64, tb=32), so bound tb*2B <= 2048.
+
+    LSTM_CTC_TPU_TIME_BLOCK overrides the heuristic (A/B lever for
+    large-batch retuning — scripts/ab_train_step.py)."""
+    import os
+    env = os.environ.get("LSTM_CTC_TPU_TIME_BLOCK", "")
+    if env:
+        return max(1, int(env))
     tb = 2048 // (2 * batch)
     return max(4, min(32, 1 << (tb.bit_length() - 1) if tb > 0 else 4))
 
