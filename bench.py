@@ -326,6 +326,50 @@ def bench_mesh(config, batch_per_device, time_steps, jax):
     return global_batch * time_steps / dt, n_dev
 
 
+def bench_streaming(config, jax, chunk_rows=16):
+    """Serving-latency row: one streaming chunk step of the causal
+    ``lstm`` family (models/streaming.StreamingSession) at batch 1 with
+    carried (c, h) states — the deployment mode the reference reserves
+    the lstm/cudnnlstm families for (SURVEY §7 step 7).
+
+    Chunks chain on-device through the carried states (the next chunk
+    depends on the previous one's states), so the two-window protocol
+    measures the DEVICE-side per-chunk latency — what an on-host
+    serving process would see — with the remote-tunnel round-trip
+    cancelled like every other row.  Returns (sec/chunk, audio seconds
+    covered per chunk): chunk_rows model rows each cover ``subsample``
+    raw 10 ms frames."""
+    from lstm_ctc_tpu.models import init_model
+    from lstm_ctc_tpu.models.streaming import StreamingSession
+
+    cfg = dict(config, nnet_type="lstm", use_peepholes=True,
+               num_experts=0, use_bn=False, dropout_rate=1.0)
+    cfg.pop("mesh", None)
+    if not cfg.get("num_projects"):
+        cfg["num_projects"] = cfg["num_neurons"]
+    params, net_state = init_model(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+    sess = StreamingSession(params, net_state, cfg, chunk_size=chunk_rows)
+    feat_dim = cfg["input_dim"] * (1 + cfg["left_context"]
+                                   + cfg["right_context"])
+    rng_np = np.random.RandomState(0)
+    x = jax.device_put(
+        rng_np.randn(1, chunk_rows, feat_dim).astype(np.float32))
+    seq_len = jax.device_put(np.array([chunk_rows], np.int32))
+
+    step = jax.jit(lambda st, xx: sess._model_chunk(
+        params, net_state, st, xx, seq_len))
+    state = {"s": sess._init_states()}
+    out = {}
+
+    def run_once():
+        out["y"], state["s"] = step(state["s"], x)
+
+    dt = _time_steps_loop(run_once, lambda: _sync(out["y"].sum()))
+    audio_s = chunk_rows * max(cfg.get("subsample", 1) or 1, 1) * 0.01
+    return dt, audio_s
+
+
 _SMOKE = False
 
 
@@ -465,6 +509,20 @@ def main():
         try_row("%s_b32_t384" % label,
                 lambda label=label, fam=fam, proj=proj, peep=peep, bn=bn:
                 fam_row(label, fam, proj, peep, use_bn=bn))
+
+    # --- streaming serving latency (causal lstm, batch 1) ---
+    def row_streaming():
+        chunk_rows = 4 if _SMOKE else 16
+        dt, audio_s = bench_streaming(config, jax, chunk_rows=chunk_rows)
+        return {"config": "streaming_lstm_b1_chunk%d" % chunk_rows,
+                "ms_per_chunk": round(dt * 1e3, 3),
+                "audio_s_per_chunk": round(audio_s, 3),
+                "real_time_factor": round(audio_s / dt, 1),
+                "note": "device-side chunk-step latency of the causal "
+                        "serving path (carried states, batch 1); RTF = "
+                        "audio seconds per chunk / latency"}
+
+    try_row("streaming_lstm_b1", row_streaming)
 
     # --- forward (inference) ---
     params, net_state = init_model(jax.random.PRNGKey(0), config)

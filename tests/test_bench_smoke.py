@@ -32,11 +32,16 @@ def test_bench_smoke_emits_full_json():
     labels = {row["config"] for row in data["configs"]}
     assert {"flagship_b32_t384", "flagship_b64_t384",
             "recipe_packed_pf3_b32", "lstm_b32_t384",
-            "cudnnlstm_b32_t384", "lstm_bn_b32_t384"} <= labels
+            "cudnnlstm_b32_t384", "lstm_bn_b32_t384",
+            "streaming_lstm_b1_chunk4"} <= labels
     errors = [row for row in data["configs"] if "error" in row]
     assert not errors, errors
     for row in data["configs"]:
-        assert row["frames_per_sec"] > 0
+        if row["config"].startswith("streaming_"):
+            # latency row: ms/chunk + real-time factor, no frames/s
+            assert row["ms_per_chunk"] > 0 and row["real_time_factor"] > 0
+        else:
+            assert row["frames_per_sec"] > 0
 
 
 def test_bench_smoke_mesh_row_on_multi_device():
