@@ -38,7 +38,13 @@ def _kernel_unroll():
     """Unroll factor for the sequential in-kernel time loops
     (LSTM_CTC_TPU_KERNEL_UNROLL, default 1).  Semantics-preserving —
     trades Mosaic loop/index overhead for code size, the same lever
-    that won ~10% on the XLA scan (docs/BENCHMARKS.md unroll rows)."""
+    that won ~10% on the XLA scan (docs/BENCHMARKS.md unroll rows).
+
+    Mosaic's fori_loop lowering only supports unroll=1 or a FULL unroll
+    of the loop (measured: partial factors raise NotImplementedError at
+    lowering), so any value > 1 here means "fully unroll the in-block
+    time loop" — the callers pass it through to lax.fori_loop(...,
+    unroll=) after clamping to the actual step count."""
     import os
     return max(1, int(os.environ.get("LSTM_CTC_TPU_KERNEL_UNROLL",
                                      "1") or "1"))
@@ -113,7 +119,7 @@ def _make_fwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         c, h = jax.lax.fori_loop(
             0, gx_ref.shape[0], step, (c_ref[:], h_ref[:]),
-            unroll=unroll)
+            unroll=gx_ref.shape[0] if unroll > 1 else 1)
         c_ref[:] = c
         h_ref[:] = h
 
@@ -318,7 +324,7 @@ def _make_bwd_kernel(batch, num_units, out_dim, forget_bias, use_peep,
 
         dc, dh = jax.lax.fori_loop(
             0, gx_ref.shape[0], rev_step, (dc_ref[:], dh_ref[:]),
-            unroll=unroll)
+            unroll=gx_ref.shape[0] if unroll > 1 else 1)
         dc_ref[:] = dc
         dh_ref[:] = dh
 

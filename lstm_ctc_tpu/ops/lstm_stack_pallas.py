@@ -168,7 +168,7 @@ def _make_fwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
 
         c, h, inb = jax.lax.fori_loop(
             0, gx0_ref.shape[0], step, (c_ref[:], h_ref[:], in_ref[:]),
-            unroll=unroll)
+            unroll=gx0_ref.shape[0] if unroll > 1 else 1)
         c_ref[:] = c
         h_ref[:] = h
         in_ref[:] = inb
@@ -331,7 +331,7 @@ def _make_bwd_kernel(num_layers, batch, num_units, out_dim, forget_bias,
         dc, dh, dinbuf = jax.lax.fori_loop(
             0, gx0_ref.shape[0], rev_step,
             (dc_ref[:], dh_ref[:], din_ref[:]),
-            unroll=unroll)
+            unroll=gx0_ref.shape[0] if unroll > 1 else 1)
         dc_ref[:] = dc
         dh_ref[:] = dh
         din_ref[:] = dinbuf

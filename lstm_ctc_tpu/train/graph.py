@@ -88,9 +88,22 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         reset_mask=batch.get("reset_mask"))
     if "utt_time_index" in batch:
         num_rows, row_t, vocab = logits.shape
-        flat = logits.reshape(num_rows * row_t, vocab)
         n_slots = batch["utt_time_index"].shape[0]
         pf = n_slots // num_rows
+        # ROW-LOCAL batched gather.  Slot k·B+r reads only row r's frames
+        # (pipeline._assemble_packed invariant), so the per-utterance
+        # view is expressed as a take_along_axis over the TIME axis with
+        # the batch axis as a gather batch dim — a form GSPMD partitions
+        # on a batch-sharded mesh (a flat [B·T] gather with arbitrary
+        # indices forced an all-gather of the [B,T,V] logits on real
+        # pods; docs/ROADMAP.md round-4 pod-scale note, now closed).
+        # Indices are rebased row-relative; dummy slots (zero-length ⇒
+        # zero loss/grad) default to flat index 0 and clip to in-row.
+        t_u = batch["utt_time_index"].shape[1]   # may be < row_t
+        row_ids = jnp.arange(n_slots, dtype=jnp.int32) % num_rows
+        rel = batch["utt_time_index"] - row_ids[:, None] * row_t
+        rel = jnp.clip(rel, 0, row_t - 1)           # [N, T_u] in-row
+        rel3 = rel.reshape(pf, num_rows, t_u)
         if ctc_tiered_enabled(config) and pf >= 2 \
                 and n_slots == pf * num_rows:
             # Rank-major slot layout (data/pipeline._assemble_packed):
@@ -103,17 +116,53 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
             for k in range(pf):
                 width = -(-row_t // (k + 1))
                 sl = slice(k * num_rows, (k + 1) * num_rows)
-                tier_logits = flat[batch["utt_time_index"][sl, :width]]
+                tier_logits = jnp.take_along_axis(
+                    logits, rel3[k, :, :width, None], axis=1)  # [B,w,V]
                 parts.append(ctc_loss(
                     tier_logits, batch["utt_sequence_length"][sl],
                     batch["nnet_target"][sl], batch["target_length"][sl],
                     mesh=config.get("mesh")))
             per_seq = jnp.concatenate(parts)
         else:
-            ctc_logits = flat[batch["utt_time_index"]]   # [N, T_u, V]
-            per_seq = ctc_loss(ctc_logits, batch["utt_sequence_length"],
-                               batch["nnet_target"],
-                               batch["target_length"],
+            # [B, pf, T_u, V]: time-axis gather, batch dims (B) aligned;
+            # slots fold out ROW-major so the utt axis of the CTC stays
+            # aligned with the row sharding (per_seq is only summed, so
+            # the rank-major → row-major reorder is loss-invariant)
+            def gather_view(lg, r3):
+                v = jnp.take_along_axis(
+                    lg[:, None, :, :],
+                    r3.transpose(1, 0, 2)[:, :, :, None], axis=2)
+                return v.reshape(-1, r3.shape[2], lg.shape[-1])
+
+            mesh = config.get("mesh")
+            if mesh is not None and mesh.devices.size > 1 \
+                    and num_rows % mesh.devices.size == 0:
+                # GSPMD does not recognize the batched gather as
+                # batch-parallel (measured: it all-gathers the [B,T,V]
+                # logits); shard_map makes the row-locality explicit —
+                # indices are row-relative, so shards need no rebasing,
+                # and the row-major fold keeps the slot axis aligned
+                # with the row sharding for the sharded CTC below.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec
+                axis = mesh.axis_names[0]
+                view = shard_map(
+                    gather_view, mesh=mesh,
+                    in_specs=(PartitionSpec(axis),
+                              PartitionSpec(None, axis)),
+                    out_specs=PartitionSpec(axis))(logits, rel3)
+            else:
+                view = gather_view(logits, rel3)
+
+            def row_major(a):
+                return (a.reshape((pf, num_rows) + a.shape[1:])
+                        .swapaxes(0, 1)
+                        .reshape((n_slots,) + a.shape[1:]))
+
+            per_seq = ctc_loss(view,
+                               row_major(batch["utt_sequence_length"]),
+                               row_major(batch["nnet_target"]),
+                               row_major(batch["target_length"]),
                                mesh=config.get("mesh"))
     else:
         per_seq = ctc_loss(logits, batch["sequence_length"],

@@ -157,6 +157,47 @@ def test_compiled_mesh_step_has_no_batch_allgather(monkeypatch):
                      % big)
 
 
+def test_compiled_packed_mesh_step_has_no_batch_allgather(monkeypatch):
+    """PACKED rows under the mesh: the per-utterance CTC view is built
+    as a row-batched take_along_axis (train/graph.compute_losses), so
+    GSPMD keeps the [B,T,V] logits and the [N,T_u,V] view partitioned
+    on the batch axis — the flat [B·T] gather this replaced forced an
+    all-gather of the full logits on a real pod (ROADMAP round-4
+    pod-scale note).  Only the tiny per-slot label arrays may move."""
+    from __graft_entry__ import _packed_batch
+
+    for k, v in FUSED_ENV.items():
+        monkeypatch.setenv(k, v)
+    mesh = _mesh()
+    config = _tiny_config(mesh=mesh)
+    batch = _packed_batch(config, num_rows=2 * N_DEV, pack_factor=2)
+    sh = NamedSharding(mesh, P("data"))
+    batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    params, net_state = init_model(jax.random.PRNGKey(0), config)
+    init_opt, train_step = make_train_step(
+        config, learn_rate=1e-3, optimizer="adam")
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(init_opt(params), rep)
+    net_state = jax.device_put(net_state, rep)
+    compiled = train_step.lower(params, opt_state, net_state,
+                                jax.random.PRNGKey(1), batch).compile()
+    text = "\n".join(m.to_string() for m in compiled.runtime_executable()
+                     .hlo_modules()) if hasattr(
+        compiled, "runtime_executable") else compiled.as_text()
+    sizes = _collect_allgather_bytes(text)
+    num_rows, row_t = batch["nnet_input"].shape[0], \
+        batch["utt_time_index"].shape[1]
+    vocab = config["num_targets"]
+    # gathering the per-utterance view on replicated logits would move
+    # ≥ the f32 logits [B, T, V]; anything that big is a regression
+    limit = num_rows * row_t * vocab * 4 // 2
+    big = [sz for sz in sizes if sz >= limit]
+    assert not big, ("compiled packed mesh step all-gathers %r bytes — "
+                     "the per-utterance CTC gather lost its row-batched "
+                     "form" % big)
+
+
 def test_moe_sharded_matches_fused_single_device():
     """moe_mix_sharded == moe_mix_fused on the concatenated batch
     (no dropout: masks identical)."""

@@ -40,8 +40,15 @@ def make_utts(seed=0):
     return feats, labels
 
 
+# rank-major slot layout — the pipeline contract (_assemble_packed):
+# row r's rank-k (k-th longest) utterance lives at slot k·B + r, so a
+# slot's owning row is slot % B.  rows [[0,1],[2,3]] longest-first →
+SLOT_OF_UTT = [0, 2, 1, 3]
+
+
 def packed_batch(feats, labels):
     rows = [[0, 1], [2, 3]]
+    n_rows = len(rows)
     x = np.zeros((2, ROW_T, 6), np.float32)
     seq = np.zeros((2,), np.int32)
     reset = np.zeros((2, ROW_T), np.float32)
@@ -53,14 +60,16 @@ def packed_batch(feats, labels):
     uidx = np.zeros((n, UTT_T), np.int32)
     for r, members in enumerate(rows):
         off = 0
-        for j in members:
+        for rank, j in enumerate(members):
+            slot = rank * n_rows + r
+            assert slot == SLOT_OF_UTT[j]
             t = feats[j].shape[0]
             x[r, off:off + t] = feats[j]
             reset[r, off] = 1.0
-            tgt[j, :len(labels[j])] = labels[j]
-            tlen[j] = len(labels[j])
-            useq[j] = t
-            uidx[j] = np.minimum(off + np.arange(UTT_T), ROW_T - 1) \
+            tgt[slot, :len(labels[j])] = labels[j]
+            tlen[slot] = len(labels[j])
+            useq[slot] = t
+            uidx[slot] = np.minimum(off + np.arange(UTT_T), ROW_T - 1) \
                 + r * ROW_T
             off += t
         seq[r] = off
@@ -126,7 +135,8 @@ def test_packed_logits_match_unpacked():
     logits_u = np.asarray(logits_u)
 
     for j, t in enumerate(UTT_LENS):
-        np.testing.assert_allclose(per_utt[j, :t], logits_u[j, :t],
+        np.testing.assert_allclose(per_utt[SLOT_OF_UTT[j], :t],
+                                   logits_u[j, :t],
                                    rtol=2e-5, atol=2e-5,
                                    err_msg="utt %d" % j)
 
