@@ -93,7 +93,14 @@ class Batch:
     [B·T] frames, ``utt_sequence_length`` [N]) lets the CTC loss see each
     packed utterance exactly as if it had its own row; ``nnet_target`` /
     ``target_length`` are then per-utterance [N, U] / [N], and ``keys``
-    is slot-indexed alongside them ("" for dummy slots)."""
+    is slot-indexed alongside them ("" for dummy slots).
+
+    Slot-layout CONTRACT (consumers rely on it — train/graph.py builds
+    the CTC view as a per-row gather so a batch-sharded mesh never
+    all-gathers the logits): slots are RANK-MAJOR, row r's k-th-longest
+    utterance at slot ``k·B + r``, so ``slot % B`` is the owning row and
+    every ``utt_time_index[slot]`` entry stays inside that row's
+    [row·T, row·T + T) index range (dummy slots included)."""
     nnet_input: np.ndarray       # [B, T, D] float32
     sequence_length: np.ndarray  # [B] int32 (0 for padding rows)
     nnet_target: np.ndarray      # [B or N, U] int32, padded with -1
@@ -245,9 +252,12 @@ class BucketedBatcher:
         targets = np.full((num_slots, self.row_label), -1, dtype=np.int32)
         tgt_len = np.zeros((num_slots,), dtype=np.int32)
         utt_seq = np.zeros((num_slots,), dtype=np.int32)
-        # default: every slot gathers frame 0 of its batch — harmless for
-        # dummy slots (zero-length ⇒ zero loss/grad)
-        utt_idx = np.zeros((num_slots, t_row), dtype=np.int32)
+        # default: every slot gathers frame 0 of its OWNING row (slot %
+        # B) — harmless for dummy slots (zero-length ⇒ zero loss/grad)
+        # and keeps the row-locality contract exact for every slot
+        utt_idx = np.broadcast_to(
+            (np.arange(num_slots, dtype=np.int32) % batch_b)[:, None]
+            * t_row, (num_slots, t_row)).copy()
         # keys is slot-indexed (keys[slot] names the utterance whose
         # targets/tgt_len/utt_* live at that slot; "" for dummy slots)
         # so consumers can zip keys with the per-utterance arrays
