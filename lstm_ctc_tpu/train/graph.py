@@ -112,6 +112,9 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
             # row_t).  Gathering each rank tier at its static width cuts
             # the CTC view from pf·B·row_t frames to B·row_t·Σ1/(k+1) —
             # ~39% less gather+DP work at pf=3, ~48% at pf=4.
+            # (Opt-in path; tier gathers ride GSPMD un-shard_mapped, so
+            # a mesh may all-gather the logits here — the shipped
+            # full-width branch below is the mesh-proof one.)
             parts = []
             for k in range(pf):
                 width = -(-row_t // (k + 1))
