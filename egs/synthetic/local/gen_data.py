@@ -91,7 +91,7 @@ class Profile:
         if hard:
             # 15% steps: marginal-but-learnable separability (the
             # regression-sensitive part of the gate)
-            step = freq_step or 1.15
+            step = freq_step if freq_step is not None else 1.15
             self.freqs = [220.0 * (step ** i) for i in range(len(PHONES))]
             # k/t frequency ALIAS: "t" borrows "k"'s tone, making the
             # twin words (kam/tam, oak/oat) true homophones — an
@@ -100,18 +100,18 @@ class Profile:
             self.freqs[PHONES.index("t")] = self.freqs[PHONES.index("k")]
             self.noise_sigma = (noise_sigma if noise_sigma is not None
                                 else 1200.0)
-            self.dur_lo = dur_lo or 0.06
-            self.dur_hi = dur_hi or 0.11
+            self.dur_lo = dur_lo if dur_lo is not None else 0.06
+            self.dur_hi = dur_hi if dur_hi is not None else 0.11
             self.amp_lo, self.amp_hi = 3000.0, 6000.0
             self.freq_jitter = 0.03
             self.words = dict(WORDS, **HARD_EXTRA_WORDS)
         else:
-            step = freq_step or 1.22
+            step = freq_step if freq_step is not None else 1.22
             self.freqs = [220.0 * (step ** i) for i in range(len(PHONES))]
             self.noise_sigma = (noise_sigma if noise_sigma is not None
                                 else 60.0)
-            self.dur_lo = dur_lo or 0.08
-            self.dur_hi = dur_hi or 0.14
+            self.dur_lo = dur_lo if dur_lo is not None else 0.08
+            self.dur_hi = dur_hi if dur_hi is not None else 0.14
             self.amp_lo = self.amp_hi = 6000.0
             self.freq_jitter = 0.0
             self.words = dict(WORDS)

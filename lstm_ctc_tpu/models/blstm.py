@@ -248,7 +248,7 @@ def apply_blstm(params: Dict,
         y = apply_moe(params["moe"], flat, dims["num_experts"],
                       dims["moe_temp"], keep_prob, k_moe,
                       compute_dtype=compute_dtype,
-                      mesh=config.get("mesh"))
+                      mesh=config.get("mesh"), batch_rows=batch)
     else:
         y = flat @ params["head"]["w"] + params["head"]["b"]
     logits = y.reshape(batch, time_steps, dims["num_targets"])

@@ -303,7 +303,7 @@ def apply_lstm(params: Dict,
         y = apply_moe(params["moe"], flat, dims["num_experts"],
                       dims["moe_temp"], keep_prob, k_moe,
                       compute_dtype=_compute_dtype(config),
-                      mesh=config.get("mesh"))
+                      mesh=config.get("mesh"), batch_rows=batch)
     else:
         y = flat @ params["head"]["w"] + params["head"]["b"]
     logits = y.reshape(batch, time_steps, dims["num_targets"])

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .cells import dropout, truncated_normal
 
 
-def _fused_moe_mode(mesh, n_rows: int):
+def _fused_moe_mode(mesh, n_rows: int, batch_rows=None):
     """Fused Pallas expert mix vs the plain XLA mix.
 
     Returns ``None`` (XLA — GSPMD partitions it automatically),
@@ -45,8 +45,17 @@ def _fused_moe_mode(mesh, n_rows: int):
         except RuntimeError:
             return None
     if mesh is not None and mesh.devices.size > 1:
+        # Divisibility is judged on the BATCH axis when the caller
+        # passes it (x is [B·T, H] flattened b-major): sharding the
+        # flat rows evenly when B doesn't divide the mesh would split
+        # mid-batch-row, forcing GSPMD to reshard the batch-sharded
+        # activations with extra collectives every step — exactly the
+        # case blstm._fused_lstm_mode / ctc._mesh_shards fall back for.
+        if (batch_rows if batch_rows is not None else n_rows) \
+                % mesh.devices.size != 0:
+            return None   # indivisible batch → replicated; keep XLA
         if n_rows % mesh.devices.size != 0:
-            return None   # indivisible rows → replicated; keep XLA
+            return None   # flat rows must split evenly for shard_map
         return "sharded"
     if impl != "fused" and jax.device_count() > 1:
         # devices present but no mesh provided: a raw custom call under
@@ -74,8 +83,13 @@ def apply_moe(params: Dict,
               keep_prob: float = 1.0,
               dropout_rng=None,
               compute_dtype=None,
-              mesh=None) -> jnp.ndarray:
+              mesh=None,
+              batch_rows=None) -> jnp.ndarray:
     """x: [N, output_dim] → mixed logits [N, num_targets].
+
+    ``batch_rows``: the BATCH-axis extent B when ``x`` is a b-major
+    flattening of [B, T, H] — mesh divisibility is judged on it (see
+    _fused_moe_mode); None falls back to judging the flat N.
 
     ``compute_dtype``: operand precision for the fused expert tile
     (None = backend default: bf16 on TPU, f32 on CPU — same resolution
@@ -94,7 +108,7 @@ def apply_moe(params: Dict,
         gate = dropout(k_gate, gate, keep_prob)
 
     num_targets = params["w_expert"].shape[1] // num_experts
-    mode = _fused_moe_mode(mesh, x.shape[0]) \
+    mode = _fused_moe_mode(mesh, x.shape[0], batch_rows) \
         if fused_eligible(x.shape[1], num_targets) else None
     if mode is not None:
         # gate (softmax + its dropout, tiny) stays in XLA above; only the

@@ -79,15 +79,18 @@ def _use_pallas(mesh=None) -> bool:
     return True
 
 
-def _mesh_shards(mesh, batch: int) -> int:
+def _mesh_shards(mesh, batch: int):
     """Number of per-batch shards the Pallas DP kernels must run under
-    shard_map with (1 = run the kernel directly).  A multi-device mesh
-    whose size does not divide the batch cannot shard — callers fall
-    back to the scan there (a direct pallas_call would be replicated)."""
+    shard_map with (1 = run the kernel directly, no mesh).  A
+    multi-device mesh whose size does not divide the batch cannot
+    shard: returns None, and callers fall back to the scan (a direct
+    pallas_call there would be replicated)."""
     if mesh is None:
         return 1
     size = mesh.devices.size
-    return size if size > 1 else 1
+    if size <= 1:
+        return 1
+    return size if batch % size == 0 else None
 
 
 def _shard_dp_kernel(mesh, fn, arg_kinds):
@@ -183,10 +186,8 @@ def _forward(logits, sequence_length, labels, label_length, blank_id,
     time_mask = (jnp.arange(max_t)[:, None]
                  < sequence_length[None, :])                  # [T, B]
 
-    use_pallas = _use_pallas(mesh)
-    n_shards = _mesh_shards(mesh, batch)
-    if n_shards > 1 and batch % n_shards != 0:
-        use_pallas = False   # indivisible batch → replicated; keep scan
+    n_shards = _mesh_shards(mesh, batch)   # None: indivisible → scan
+    use_pallas = _use_pallas(mesh) and n_shards is not None
     # block sizing sees the PER-SHARD batch: under GSPMD this function
     # traces with the global batch, but each device only ever holds
     # batch/n_shards rows
@@ -269,10 +270,8 @@ def _backward(residuals, grad_loss, mesh=None):
     t_index = jnp.arange(max_t)
     is_last = (t_index[:, None] == (sequence_length - 1)[None, :])
 
-    use_pallas = _use_pallas(mesh)
-    n_shards = _mesh_shards(mesh, batch)
-    if n_shards > 1 and batch % n_shards != 0:
-        use_pallas = False
+    n_shards = _mesh_shards(mesh, batch)   # None: indivisible → scan
+    use_pallas = _use_pallas(mesh) and n_shards is not None
     blocks = _pallas_blocks(batch // n_shards, ext_len) \
         if use_pallas else None
     if blocks is not None:

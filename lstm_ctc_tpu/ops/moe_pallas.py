@@ -48,6 +48,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_BLOCK = 256          # rows per grid step
+
+
+def _env_n_block() -> int:
+    """Row-block override (LSTM_CTC_TPU_MOE_NBLOCK, default N_BLOCK) —
+    the A/B lever for the expert-tile grid (scripts/ab_train_step.py).
+    Must keep Np % n_block == 0 reachable via padding, so any positive
+    multiple of 8 is legal."""
+    import os
+    env = os.environ.get("LSTM_CTC_TPU_MOE_NBLOCK", "")
+    return max(8, int(env)) if env else N_BLOCK
+
+
 MAX_COLS_BLOCK = 4096  # Eb·V ceiling (VMEM guard)
 
 
@@ -513,7 +525,7 @@ def moe_mix_fused(x: jnp.ndarray,
                   keep_prob: float = 1.0,
                   seed=None,
                   compute_dtype=jnp.bfloat16,
-                  n_block: int = N_BLOCK,
+                  n_block=None,
                   interpret: bool = False) -> jnp.ndarray:
     """Mixed logits [N, V] = sum_e gate[:, e] * drop(tau tanh(x W_e + b_e)).
 
@@ -532,6 +544,8 @@ def moe_mix_fused(x: jnp.ndarray,
     wgrad_mode = os.environ.get("LSTM_CTC_TPU_MOE_WGRAD", "xla") or "xla"
     if wgrad_mode not in ("xla", "kernel", "twokernel"):
         wgrad_mode = "xla"
+    if n_block is None:
+        n_block = _env_n_block()
     n, d = x.shape
     v = w_expert.shape[1] // num_experts
     eb = expert_block_size(v)
@@ -569,7 +583,7 @@ def moe_mix_sharded(mesh,
                     keep_prob: float = 1.0,
                     seed=None,
                     compute_dtype=jnp.bfloat16,
-                    n_block: int = N_BLOCK,
+                    n_block=None,
                     interpret: bool = False) -> jnp.ndarray:
     """Data-parallel wrapper: the fused expert-mix kernel runs per-shard
     under ``shard_map`` over the row axis of ``x``/``gate`` with the

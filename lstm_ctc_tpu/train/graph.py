@@ -73,6 +73,20 @@ def ctc_tiered_enabled(config: Dict) -> bool:
     return raw in ("1", "true", "True")
 
 
+def _row_relative_slots(batch: Dict, num_rows: int, row_t: int,
+                        pf: int) -> jnp.ndarray:
+    """Rebase the flat ``utt_time_index`` to row-relative time indices,
+    shaped [pf, B, T_u].  Valid only under the pipeline's rank-major
+    slot contract (slot k·B+r reads row r); dummy slots (zero length ⇒
+    zero loss/grad) default to flat index 0 and clip to in-row."""
+    n_slots = pf * num_rows
+    t_u = batch["utt_time_index"].shape[1]   # may be < row_t
+    row_ids = jnp.arange(n_slots, dtype=jnp.int32) % num_rows
+    rel = batch["utt_time_index"] - row_ids[:, None] * row_t
+    rel = jnp.clip(rel, 0, row_t - 1)        # [N, T_u] in-row
+    return rel.reshape(pf, num_rows, t_u)
+
+
 def compute_losses(params, net_state, batch: Dict, config: Dict,
                    train: bool, dropout_rng=None):
     """Shared forward pass → (metrics dict, logits, new_net_state).
@@ -90,6 +104,17 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         num_rows, row_t, vocab = logits.shape
         n_slots = batch["utt_time_index"].shape[0]
         pf = n_slots // num_rows
+        if n_slots != pf * num_rows or pf < 1:
+            # Slot count off the pipeline's rank-major contract (an
+            # external producer with arbitrary slot→row mapping): the
+            # row-batched gather below would be wrong, so keep the
+            # general flat gather (replicates the logits on a mesh —
+            # only the contract-conforming layout is pod-scalable).
+            flat = logits.reshape(num_rows * row_t, vocab)
+            per_seq = ctc_loss(flat[batch["utt_time_index"]],
+                               batch["utt_sequence_length"],
+                               batch["nnet_target"],
+                               batch["target_length"])
         # ROW-LOCAL batched gather.  Slot k·B+r reads only row r's frames
         # (pipeline._assemble_packed invariant), so the per-utterance
         # view is expressed as a take_along_axis over the TIME axis with
@@ -99,13 +124,8 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         # pods; docs/ROADMAP.md round-4 pod-scale note, now closed).
         # Indices are rebased row-relative; dummy slots (zero-length ⇒
         # zero loss/grad) default to flat index 0 and clip to in-row.
-        t_u = batch["utt_time_index"].shape[1]   # may be < row_t
-        row_ids = jnp.arange(n_slots, dtype=jnp.int32) % num_rows
-        rel = batch["utt_time_index"] - row_ids[:, None] * row_t
-        rel = jnp.clip(rel, 0, row_t - 1)           # [N, T_u] in-row
-        rel3 = rel.reshape(pf, num_rows, t_u)
-        if ctc_tiered_enabled(config) and pf >= 2 \
-                and n_slots == pf * num_rows:
+        elif ctc_tiered_enabled(config) and pf >= 2:
+            rel3 = _row_relative_slots(batch, num_rows, row_t, pf)
             # Rank-major slot layout (data/pipeline._assemble_packed):
             # slot k·B+r holds row r's (k+1)-th longest utterance, which
             # is ≤ ⌈row_t/(k+1)⌉ frames (the k+1 longest sum to ≤
@@ -127,6 +147,8 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                     mesh=config.get("mesh")))
             per_seq = jnp.concatenate(parts)
         else:
+            rel3 = _row_relative_slots(batch, num_rows, row_t, pf)
+
             # [B, pf, T_u, V]: time-axis gather, batch dims (B) aligned;
             # slots fold out ROW-major so the utt axis of the CTC stays
             # aligned with the row sharding (per_seq is only summed, so
@@ -146,10 +168,9 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                 # indices are row-relative, so shards need no rebasing,
                 # and the row-major fold keeps the slot axis aligned
                 # with the row sharding for the sharded CTC below.
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec
                 axis = mesh.axis_names[0]
-                view = shard_map(
+                view = jax.shard_map(
                     gather_view, mesh=mesh,
                     in_specs=(PartitionSpec(axis),
                               PartitionSpec(None, axis)),

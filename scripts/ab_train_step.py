@@ -73,9 +73,18 @@ def main():
     for rep in range(args.repeats):
         for name, env_pairs in variants:
             env = dict(os.environ, **env_pairs)
-            r = subprocess.run([sys.executable, "-c", payload],
-                               capture_output=True, text=True, env=env,
-                               timeout=args.timeout, cwd=REPO)
+            try:
+                r = subprocess.run([sys.executable, "-c", payload],
+                                   capture_output=True, text=True,
+                                   env=env, timeout=args.timeout,
+                                   cwd=REPO)
+            except subprocess.TimeoutExpired:
+                # a wedged backend must cost one variant rep, not the
+                # whole harness (and its summary line)
+                print(json.dumps({"variant": name, "rep": rep,
+                                  "error": "timeout after %ss"
+                                           % args.timeout}), flush=True)
+                continue
             if r.returncode != 0:
                 print(json.dumps({"variant": name, "rep": rep,
                                   "error": r.stderr[-500:]}), flush=True)

@@ -344,6 +344,10 @@ def test_moe_mode_gates():
         assert _fused_moe_mode(mesh, 32) == "sharded"
         assert _fused_moe_mode(mesh, 30) is None      # indivisible
         assert _fused_moe_mode(None, 32) == "direct"  # forced, no mesh
+        # divisibility is judged on the BATCH axis when given: B=12·T=16
+        # flattens to 192 rows (divisible by 8) but B=12 is not
+        assert _fused_moe_mode(mesh, 12 * 16, batch_rows=12) is None
+        assert _fused_moe_mode(mesh, 16 * 24, batch_rows=16) == "sharded"
     finally:
         os.environ.pop("LSTM_CTC_TPU_MOE_IMPL", None)
     # auto on CPU → None

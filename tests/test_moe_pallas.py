@@ -172,6 +172,19 @@ def test_apply_moe_dispatch(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_moe_nblock_env_knob(monkeypatch):
+    """LSTM_CTC_TPU_MOE_NBLOCK retiles the fused kernel's row grid
+    without changing results (no-dropout path is tile-invariant)."""
+    x, _, _ = make_case(9)
+    params = init_moe(jax.random.PRNGKey(11), 48, 7, 5)
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_IMPL", "fused")
+    base = apply_moe(params, x, 5, 10.0)
+    monkeypatch.setenv("LSTM_CTC_TPU_MOE_NBLOCK", "64")
+    retiled = apply_moe(params, x, 5, 10.0)
+    np.testing.assert_allclose(np.asarray(retiled), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_apply_moe_fused_dropout_trains(monkeypatch):
     """Fused path with dropout active: finite loss and grads through a
     training-style objective."""

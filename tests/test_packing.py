@@ -167,6 +167,39 @@ def test_packed_loss_and_grads_match_unpacked():
                                    err_msg=str(path))
 
 
+def test_nonconforming_slot_count_falls_back_to_flat_gather():
+    """A slot count off the pipeline's rank-major contract (n_slots not
+    a multiple of num_rows — e.g. an external producer) must not crash
+    the row-batched gather and must still compute the exact flat-gather
+    loss over the slots it does carry."""
+    feats, labels = make_utts(seed=6)
+    params, net_state = init_model(jax.random.PRNGKey(1), CONFIG)
+    packed = packed_batch(feats, labels)
+    # drop the last slot (row 1's rank-1 utterance = utt 3): 3 slots
+    # over 2 rows — non-conforming; indices stay GLOBAL-flat, as the
+    # pre-contract producers emitted them
+    trimmed = dict(packed)
+    for key in ("utt_time_index", "utt_sequence_length",
+                "nnet_target", "target_length"):
+        trimmed[key] = packed[key][:3]
+
+    def eval_loss(batch):
+        metrics, _, _ = compute_losses(params, net_state, batch, CONFIG,
+                                       train=False)
+        return float(metrics["eval_loss"])
+
+    # expected: the unpacked per-utterance losses of the three kept
+    # utterances (slot j holds utt SLOT_OF_UTT.index(j))
+    kept = [SLOT_OF_UTT.index(j) for j in range(3)]
+    unpacked = unpacked_batch(feats, labels)
+    per_utt = []
+    for u in kept:
+        single = {k: v[u:u + 1] for k, v in unpacked.items()}
+        per_utt.append(eval_loss(single))
+    np.testing.assert_allclose(eval_loss(trimmed), sum(per_utt),
+                               rtol=1e-5)
+
+
 def test_packed_fused_kernel_matches_scan(monkeypatch):
     """The Pallas kernel's reset path (interpret mode, f32 remat) must
     reproduce the scan's packed outputs and gradients."""
