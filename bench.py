@@ -194,8 +194,10 @@ def bench_packed(config, batch_size, pack_factor, jax, tiered=False):
     from lstm_ctc_tpu.train.graph import make_train_step
     from lstm_ctc_tpu.models import init_model
 
-    # packed slots are rank-major → tiered CTC gather (train/graph.py)
-    config = dict(config, ctc_tiered_slots=tiered)
+    # packed slots come from BucketedBatcher → declare the rank-major
+    # contract (row-batched/tiered CTC gather, train/graph.py)
+    config = dict(config, ctc_tiered_slots=tiered,
+                  packed_slots_rank_major=True)
     rng_np = np.random.RandomState(0)
     # enough utterances for ~8 full batches — a B·pack_factor batch
     # consumes batch_size·pf utts, and a fixture smaller than a couple of
@@ -517,7 +519,9 @@ def main():
         return {"config": "streaming_lstm_b1_chunk%d" % chunk_rows,
                 "ms_per_chunk": round(dt * 1e3, 3),
                 "audio_s_per_chunk": round(audio_s, 3),
-                "real_time_factor": round(audio_s / dt, 1),
+                # 4 decimals: a slow CPU smoke tier can land under 0.05,
+                # which round(_, 1) would truncate to a spurious 0.0
+                "real_time_factor": round(audio_s / dt, 4),
                 "note": "device-side chunk-step latency of the causal "
                         "serving path (carried states, batch 1); RTF = "
                         "audio seconds per chunk / latency"}

@@ -207,7 +207,11 @@ def main(args):
               % (tr_loss, cv_loss, cv_eval), flush=True)
 
         cv_goal_val = cv_loss if args.cv_goal == "loss" else cv_eval
-        rel_impr = (cv_goal_best - cv_goal_val) / cv_goal_best
+        # a collapsed run can reach cv goal exactly 0 (observed under a
+        # deliberate lr×10 regression); 0-best means no relative
+        # improvement is measurable — mirror the scripts' guarded awk
+        rel_impr = ((cv_goal_best - cv_goal_val)
+                    / (cv_goal_best if cv_goal_best != 0 else 1e-20))
         print("cv_goal_val = %.6f cv_goal_best = %.6f relative "
               "improvement = %.6f" % (cv_goal_val, cv_goal_best, rel_impr),
               flush=True)

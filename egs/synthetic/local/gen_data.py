@@ -6,7 +6,7 @@ Each phone is a pure tone at a distinct frequency (80-140 ms); words are
 dirs (wav.scp, text, utt2spk, spk2utt) plus the dict dir (lexicon.txt,
 units.txt, lexicon_numbers.txt).
 
-Two difficulty profiles:
+Three difficulty profiles:
 
   * ``easy`` (default) — widely-spaced tones (22%/step), ~40 dB SNR:
     the model saturates at ~0% WER, proving the pipeline end-to-end.
@@ -17,9 +17,19 @@ Two difficulty profiles:
     lands in a 5-20%% band where a real regression (mixed-precision
     drift, a 10x learning rate, a broken kernel) visibly moves the
     number instead of hiding under a ceiling.
+  * ``capacity`` (``--capacity``) — a CAPACITY-BOUND task for the MoE
+    treatment experiment (reference egs/wsj/RESULT.md:118: the
+    mixture-of-softmaxes head's value is breaking the softmax rank
+    bottleneck): 36 tones (V = 37 network targets) and an
+    auto-generated 72-word vocabulary with NO homophones, clean-ish
+    acoustics.  Paired with a small projection (run.sh
+    --num-projects 8 → 16-dim head input ≪ 37 targets) the dense
+    head's log-posterior rank is the binding constraint, which
+    num_experts > 0 lifts — error is head-capacity-bound, not
+    LM-bound like the hard profile's homophone floor.
 
 Usage: gen_data.py <out-root> [num_train] [num_dev] [num_test] [seed]
-                   [--hard]
+                   [--hard | --capacity]
 """
 
 import os
@@ -59,6 +69,26 @@ HARD_EXTRA_WORDS = {
 RATE = 16000
 
 
+def _capacity_words(phones, n_words=72, lex_seed=20260819):
+    """Deterministic 2-3-phone vocabulary over the capacity profile's
+    phone set, with NO duplicate pronunciations (no homophones — the
+    capacity experiment wants head-capacity-bound error, not an
+    LM-bound floor).  The lexicon seed is FIXED so every training seed
+    sees the same task."""
+    rng = np.random.RandomState(lex_seed)
+    words = {}
+    seen = set()
+    while len(words) < n_words:
+        length = 2 + int(rng.randint(2))
+        pron = tuple(phones[rng.randint(len(phones))]
+                     for _ in range(length))
+        if pron in seen:
+            continue
+        seen.add(pron)
+        words["w%02d" % len(words)] = list(pron)
+    return words
+
+
 class Profile:
     """Synthesis parameters per difficulty profile.
 
@@ -86,8 +116,28 @@ class Profile:
     --freq-step / --dur-lo/--dur-hi)."""
 
     def __init__(self, hard, noise_sigma=None, freq_step=None,
-                 dur_lo=None, dur_hi=None):
+                 dur_lo=None, dur_hi=None, capacity=False):
         self.hard = hard
+        self.capacity = capacity
+        self.phones = list(PHONES)
+        if capacity:
+            assert not hard, "--hard and --capacity are exclusive"
+            # 36 tones on a 9%% ladder (220 Hz → ~4.5 kHz: inside the
+            # fbank's mel range at 16 kHz); moderate noise + slight
+            # jitter keeps frames informative — the intended bottleneck
+            # is the HEAD, not the acoustics
+            step = freq_step if freq_step is not None else 1.09
+            self.phones = ["p%02d" % i for i in range(36)]
+            self.freqs = [220.0 * (step ** i)
+                          for i in range(len(self.phones))]
+            self.noise_sigma = (noise_sigma if noise_sigma is not None
+                                else 300.0)
+            self.dur_lo = dur_lo if dur_lo is not None else 0.07
+            self.dur_hi = dur_hi if dur_hi is not None else 0.12
+            self.amp_lo, self.amp_hi = 4000.0, 6000.0
+            self.freq_jitter = 0.01
+            self.words = _capacity_words(self.phones)
+            return
         if hard:
             # 15% steps: marginal-but-learnable separability (the
             # regression-sensitive part of the gate)
@@ -130,7 +180,7 @@ def synth_utt(words, rng, prof):
     chunks = [np.zeros(int(0.05 * RATE))]
     for word in words:
         for ph in prof.words[word]:
-            freq = prof.freqs[PHONES.index(ph)]
+            freq = prof.freqs[prof.phones.index(ph)]
             if prof.freq_jitter:
                 freq *= 1.0 + rng.uniform(-prof.freq_jitter,
                                           prof.freq_jitter)
@@ -181,6 +231,8 @@ def main():
         a = argv[i]
         if a == "--hard":
             opts["hard"] = True
+        elif a == "--capacity":
+            opts["capacity"] = True
         elif a in ("--noise-sigma", "--freq-step", "--dur-lo",
                    "--dur-hi"):
             opts[a[2:].replace("-", "_")] = float(argv[i + 1])
@@ -188,7 +240,8 @@ def main():
         else:
             args.append(a)
         i += 1
-    prof = Profile(hard=opts.pop("hard", False), **opts)
+    prof = Profile(hard=opts.pop("hard", False),
+                   capacity=opts.pop("capacity", False), **opts)
     root = args[0]
     num_train = int(args[1]) if len(args) > 1 else 80
     num_dev = int(args[2]) if len(args) > 2 else 12
@@ -198,17 +251,18 @@ def main():
 
     dict_dir = os.path.join(root, "data", "dict")
     os.makedirs(dict_dir, exist_ok=True)
+    phones = prof.phones
     with open(os.path.join(dict_dir, "lexicon.txt"), "w") as fh:
-        fh.write("<UNK> %s\n" % PHONES[0])
+        fh.write("<UNK> %s\n" % phones[0])
         for word in sorted(prof.words):
             fh.write("%s %s\n" % (word, " ".join(prof.words[word])))
     with open(os.path.join(dict_dir, "units.txt"), "w") as fh:
-        for i, ph in enumerate(PHONES):
+        for i, ph in enumerate(phones):
             fh.write("%s %d\n" % (ph, i + 1))
     with open(os.path.join(dict_dir, "lexicon_numbers.txt"), "w") as fh:
-        fh.write("<UNK> %d\n" % (PHONES.index(PHONES[0]) + 1))
+        fh.write("<UNK> %d\n" % (phones.index(phones[0]) + 1))
         for word in sorted(prof.words):
-            ids = " ".join(str(PHONES.index(p) + 1)
+            ids = " ".join(str(phones.index(p) + 1)
                            for p in prof.words[word])
             fh.write("%s %s\n" % (word, ids))
 
@@ -216,7 +270,8 @@ def main():
     make_set(root, "dev", num_dev, rng, prof)
     make_set(root, "test", num_test, rng, prof)
     print("generated %s corpus under %s"
-          % ("hard" if prof.hard else "easy", root))
+          % ("capacity" if prof.capacity
+             else ("hard" if prof.hard else "easy"), root))
 
 
 if __name__ == "__main__":

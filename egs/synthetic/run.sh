@@ -5,7 +5,8 @@
 # staged recipes (egs/wsj/run_wsj_phn.sh) with every external dependency
 # replaced by this framework's native tools.
 #
-# usage: run.sh [--stage N] [--work DIR] [--max-iter N] [--num-experts N]
+# usage: run.sh [--stage N] [--stop-stage N] [--work DIR] [--max-iter N]
+#               [--num-experts N]
 
 set -e
 RECIPE_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
@@ -16,6 +17,7 @@ FSTBIN=${FSTBIN:-$REPO/native/build}
 PYTHON=${PYTHON:-python3}
 
 stage=0
+stop_stage=99     # run stages in [stage, stop_stage] (Kaldi convention)
 work=$RECIPE_DIR/work
 max_iter=25
 min_iters=25
@@ -32,7 +34,10 @@ seed=7
 profile=easy      # easy = saturated pipeline proof (~0% WER);
                   # hard = non-saturated accuracy gate (confusable
                   # tones + noise; WER calibrated into a 5-20% band
-                  # where regressions are visible — gen_data.py)
+                  # where regressions are visible — gen_data.py);
+                  # capacity = 36-tone / 72-word head-capacity-bound
+                  # task for the MoE treatment experiment (pair with
+                  # --num-projects 8)
 gen_extra=""      # extra gen_data.py flags (e.g. "--freq-step 1.16")
 nj=2              # decode/record conversion fan-out
 compute_dtype=    # set to bfloat16 to run matmuls in bf16 (accuracy
@@ -48,10 +53,11 @@ train_driver=script   # script = scripts/train_oplr.sh (one process per
 
 mkdir -p "$work"
 
-if [ "$stage" -le 0 ]; then
+if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
   echo "===== stage 0: data generation ====="
   hard_flag=""
   [ "$profile" = "hard" ] && hard_flag="--hard"
+  [ "$profile" = "capacity" ] && hard_flag="--capacity"
   # shellcheck disable=SC2086
   $PYTHON "$RECIPE_DIR/local/gen_data.py" "$work" "$num_train" 12 \
     "$num_test" 7 $hard_flag $gen_extra
@@ -59,7 +65,7 @@ if [ "$stage" -le 0 ]; then
     > "$work/data/lm.arpa"
 fi
 
-if [ "$stage" -le 1 ]; then
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "===== stage 1: TLG graph ====="
   [ ! -x "$FSTBIN/fst-tools" ] && \
     echo "build native tools first: cmake -B native/build -G Ninja native && ninja -C native/build" && exit 1
@@ -67,7 +73,7 @@ if [ "$stage" -le 1 ]; then
     "$work/lang"
 fi
 
-if [ "$stage" -le 2 ]; then
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   echo "===== stage 2: fbank + CMVN ====="
   for set in train dev test; do
     dset=$work/data/$set
@@ -82,7 +88,7 @@ if [ "$stage" -le 2 ]; then
   done
 fi
 
-if [ "$stage" -le 3 ]; then
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   echo "===== stage 3: labels + records ====="
   for set in train dev; do
     dset=$work/data/$set
@@ -112,7 +118,7 @@ fi
 num_units=$(wc -l < "$work/data/dict/units.txt")
 num_targets=$((num_units + 1))
 
-if [ "$stage" -le 4 ]; then
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "===== stage 4: training ====="
   cat > "$work/nnet.config" <<EOF
 nnet_type = blstm
@@ -158,7 +164,7 @@ EOF
   echo false > "$work/exp/splice_feats"
 fi
 
-if [ "$stage" -le 5 ]; then
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "===== stage 5: lattice decode + WER ====="
   bash "$SCRIPTS/decode_ctc_lat.sh" --nj "$nj" --beam 16.0 \
     --lattice_beam 8.0 --max-active 5000 --acwt 0.9 \
@@ -171,7 +177,7 @@ if [ "$stage" -le 5 ]; then
     awk -F'wer: ' '{print $1 $2}' | sort -t' ' -k2 -n | head -1
 fi
 
-if [ "$stage" -le 6 ]; then
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "===== stage 6: LM rescoring (second LM over the same lattices) ====="
   # rescore with a bigger KN 3-gram trained on train+dev text — both the
   # on-demand G.fst path (lmrescore.sh) and the mmap const-arpa path

@@ -63,7 +63,12 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
         label_lengths = scan_label_lengths(metas)
     # packed batches lay slots out rank-major (longest-first per row);
     # the opt-in tiered CTC gather is resolved where the gather is built
-    # (train/graph.ctc_tiered_enabled), not here.
+    # (train/graph.ctc_tiered_enabled), not here.  DECLARE the contract
+    # so train/graph.compute_losses may use the row-batched sharded
+    # gather (undeclared packed batches get the layout-agnostic flat
+    # gather, which a mesh cannot partition).
+    if pack_factor and pack_factor > 1:
+        config["packed_slots_rank_major"] = True
     return BucketedBatcher(
         metas,
         batch_size=batch_size,

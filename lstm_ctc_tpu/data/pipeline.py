@@ -285,6 +285,15 @@ class BucketedBatcher:
                     offset + arange_t, t_row - 1) + row * t_row
                 offset += t_len
             seq_len[row] = offset
+        # pin the rank-major contract at assembly time (host-side,
+        # cheap): every slot's indices stay inside its owning row
+        # (slot % B) — consumers (train/graph.py row-batched gather)
+        # declare and rely on exactly this
+        assert (utt_idx // t_row
+                == (np.arange(num_slots, dtype=np.int32)
+                    % batch_b)[:, None]).all(), \
+            "packed slot layout broke the rank-major row-ownership " \
+            "contract (data/pipeline.Batch docstring)"
         return Batch(feats, seq_len, targets, tgt_len, keys,
                      reset_mask=reset, utt_time_index=utt_idx,
                      utt_sequence_length=utt_seq)

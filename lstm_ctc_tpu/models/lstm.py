@@ -185,6 +185,51 @@ def _init_bn_state(dim: int) -> Dict:
             "var": jnp.ones((dim,), jnp.float32)}
 
 
+def _bn_fold_enabled() -> bool:
+    """Opt-in (LSTM_CTC_TPU_BN_FOLD=1): apply train-mode BN by folding
+    its per-channel affine into the NEXT consumer's input weights
+    instead of materializing the normalized [B, T, C] tensor.
+
+    BN with batch stats is x̂ = a·x + b (a = scale·rsqrt(var+eps),
+    b = offset − mean·a), and a matmul consumer absorbs it exactly:
+    x̂ @ W = x @ (a ⊙ W) + b @ W — so each layer boundary saves one
+    HBM write + read of the normalized activations, at the cost of a
+    tiny [D, 4H] weight rescale.  Residual adds recreate x̂ as an
+    elementwise op XLA fuses into the add.  Semantically identical to
+    the materializing path (same stats, same running-moment updates);
+    gradient/logit parity pinned by tests/test_models.py."""
+    import os
+    return os.environ.get("LSTM_CTC_TPU_BN_FOLD", "0") == "1"
+
+
+def _bn_train_affine(bn_params: Dict, bn_state: Dict, x: jnp.ndarray):
+    """Train-mode BN as a per-channel affine: returns ((a, b),
+    new running state) without materializing the normalized tensor.
+    Stats are UNMASKED over all leading axes — the reference's
+    tf.layers.batch_normalization semantics (padded frames included)."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.var(x, axis=axes)
+    new_state = {
+        "mean": BN_MOMENTUM * bn_state["mean"] + (1 - BN_MOMENTUM) * mean,
+        "var": BN_MOMENTUM * bn_state["var"] + (1 - BN_MOMENTUM) * var,
+    }
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    a = inv * bn_params["scale"]
+    return (a, bn_params["offset"] - mean * a), new_state
+
+
+def _fold_affine_into_cell(cell: Dict, a: jnp.ndarray,
+                           b: jnp.ndarray) -> Dict:
+    """Fold an input affine x̂ = a·x + b into an LSTM cell's input
+    kernel: x̂ @ wx + bias = x @ (a ⊙ wx) + (bias + b @ wx)."""
+    cell = dict(cell)
+    extra = b @ cell["wx"]
+    cell["wx"] = a[:, None] * cell["wx"]
+    cell["bias"] = cell["bias"] + extra
+    return cell
+
+
 def _apply_bn(bn_params: Dict, bn_state: Dict, x: jnp.ndarray, train: bool):
     if train:
         axes = tuple(range(x.ndim - 1))
@@ -274,8 +319,32 @@ def apply_lstm(params: Dict,
         stacked = _stack_outputs(
             config, params["layers"], x, sequence_length, res_flags,
             affine=_bn_affine(params["bn"], state["bn"]))
+    head_affine = None
     if stacked is not None:
         x = stacked
+    elif dims["use_bn"] and train and _bn_fold_enabled():
+        # fold each BN's train-mode affine into the next layer's input
+        # kernel (and the input BN into layer 0) — no normalized
+        # [B, T, C] tensor is ever materialized between layers.  RNG
+        # consumption order matches the materializing loop exactly.
+        x = nnet_input
+        pending, new_state["bn_in"] = _bn_train_affine(
+            params["bn_in"], state["bn_in"], x)
+        scan_fn = _make_scan_fn(config, x.shape[0])
+        for i in range(dims["num_layers"]):
+            cell = _fold_affine_into_cell(params["layers"][i], *pending)
+            out, _ = scan_fn(cell, x, sequence_length, forget_bias=1.0)
+            if res_flags[i]:
+                # residual adds the layer's NORMALIZED input (x̂); the
+                # affine fuses into the add — still no materialization
+                out = out + (pending[0] * x + pending[1])
+            if keep_prob < 1.0 and dropout_rng is not None:
+                dropout_rng, k = jax.random.split(dropout_rng)
+                out = dropout(k, out, keep_prob)
+            pending, new_state["bn"][i] = _bn_train_affine(
+                params["bn"][i], state["bn"][i], out)
+            x = out
+        head_affine = pending          # last BN folds into the head
     else:
         scan_fn = _make_scan_fn(config, x.shape[0])
         for i in range(dims["num_layers"]):
@@ -294,6 +363,12 @@ def apply_lstm(params: Dict,
 
     batch, time_steps, _ = x.shape
     flat = x.reshape(batch * time_steps, dims["output_dim"])
+    if head_affine is not None and dims["num_experts"] > 0:
+        # the MoE head has two matmul consumers (gate + experts) plus
+        # in-kernel dropout — materialize the final affine instead of
+        # folding (still saves every inter-layer materialization)
+        flat = head_affine[0] * flat + head_affine[1]
+        head_affine = None
     if dims["num_experts"] > 0:
         if keep_prob < 1.0 and dropout_rng is not None:
             dropout_rng, k_moe = jax.random.split(dropout_rng)
@@ -305,7 +380,11 @@ def apply_lstm(params: Dict,
                       compute_dtype=_compute_dtype(config),
                       mesh=config.get("mesh"), batch_rows=batch)
     else:
-        y = flat @ params["head"]["w"] + params["head"]["b"]
+        w_head, b_head = params["head"]["w"], params["head"]["b"]
+        if head_affine is not None:
+            a, b = head_affine
+            w_head, b_head = a[:, None] * w_head, b_head + b @ w_head
+        y = flat @ w_head + b_head
     logits = y.reshape(batch, time_steps, dims["num_targets"])
     return logits, None, [], new_state
 

@@ -57,7 +57,11 @@ def _env_n_block() -> int:
     multiple of 8 is legal."""
     import os
     env = os.environ.get("LSTM_CTC_TPU_MOE_NBLOCK", "")
-    return max(8, int(env)) if env else N_BLOCK
+    if not env:
+        return N_BLOCK
+    # floor to a multiple of 8 — a non-8-aligned row block fails Mosaic
+    # lowering at runtime (e.g. NBLOCK=100 → 96)
+    return max(8, int(env) // 8 * 8)
 
 
 MAX_COLS_BLOCK = 4096  # Eb·V ceiling (VMEM guard)

@@ -25,6 +25,7 @@ inserts the gradient all-reduce automatically.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Dict
 
 import jax
@@ -33,6 +34,29 @@ import optax
 
 from ..models import apply_model
 from ..ops import ctc_loss
+
+_warned_flat_packed_gather = False
+
+
+def _warn_flat_packed_gather(n_slots: int, num_rows: int,
+                             reason: str) -> None:
+    """One-time trace-time notice when a packed batch on a multi-device
+    mesh takes the layout-agnostic flat gather: correct, but GSPMD
+    replicates the [B,T,V] logits to serve arbitrary [B·T] indices —
+    exactly the pod-scale pathology the row-batched gather exists to
+    avoid (mirrors ops/ctc._warn_scan_fallback)."""
+    global _warned_flat_packed_gather
+    if not _warned_flat_packed_gather:
+        _warned_flat_packed_gather = True
+        warnings.warn(
+            "packed CTC view: %s (%d slots over %d rows), so the "
+            "layout-agnostic flat gather is used — on this multi-device "
+            "mesh GSPMD will all-gather the [B,T,V] logits for it. "
+            "Batches from data/pipeline.BucketedBatcher follow the "
+            "rank-major slot contract; declare it with "
+            "config['packed_slots_rank_major']=True to get the "
+            "row-batched sharded gather." % (reason, n_slots, num_rows),
+            stacklevel=4)
 
 
 def get_optimizer(name: str, learn_rate: float,
@@ -104,17 +128,33 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         num_rows, row_t, vocab = logits.shape
         n_slots = batch["utt_time_index"].shape[0]
         pf = n_slots // num_rows
-        if n_slots != pf * num_rows or pf < 1:
-            # Slot count off the pipeline's rank-major contract (an
-            # external producer with arbitrary slot→row mapping): the
-            # row-batched gather below would be wrong, so keep the
-            # general flat gather (replicates the logits on a mesh —
-            # only the contract-conforming layout is pod-scalable).
+        mesh = config.get("mesh")
+        # The row-batched gather below is only correct under the
+        # pipeline's rank-major slot contract (slot k·B+r reads row r,
+        # data/pipeline.Batch docstring).  The contract cannot be
+        # checked on traced index values, so it is DECLARED: producers
+        # that follow it set config["packed_slots_rank_major"]=True
+        # (cli.build_batcher does for its BucketedBatcher; the batcher
+        # itself asserts the invariant at assembly time).  Undeclared
+        # batches — an external producer with an arbitrary slot→row
+        # mapping, e.g. utterance-order slots — get the layout-agnostic
+        # flat gather, which is correct for any valid utt_time_index
+        # but replicates the logits on a mesh (one-time warning).
+        rank_major = (bool(config.get("packed_slots_rank_major"))
+                      and pf >= 1 and n_slots == pf * num_rows)
+        if not rank_major:
+            if mesh is not None and mesh.devices.size > 1:
+                reason = ("slot count off the rank-major contract"
+                          if n_slots != max(pf, 1) * num_rows
+                          else "batch does not declare the rank-major "
+                               "slot contract")
+                _warn_flat_packed_gather(n_slots, num_rows, reason)
             flat = logits.reshape(num_rows * row_t, vocab)
             per_seq = ctc_loss(flat[batch["utt_time_index"]],
                                batch["utt_sequence_length"],
                                batch["nnet_target"],
-                               batch["target_length"])
+                               batch["target_length"],
+                               mesh=mesh)
         # ROW-LOCAL batched gather.  Slot k·B+r reads only row r's frames
         # (pipeline._assemble_packed invariant), so the per-utterance
         # view is expressed as a take_along_axis over the TIME axis with
@@ -132,19 +172,36 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
             # row_t).  Gathering each rank tier at its static width cuts
             # the CTC view from pf·B·row_t frames to B·row_t·Σ1/(k+1) —
             # ~39% less gather+DP work at pf=3, ~48% at pf=4.
-            # (Opt-in path; tier gathers ride GSPMD un-shard_mapped, so
-            # a mesh may all-gather the logits here — the shipped
-            # full-width branch below is the mesh-proof one.)
+            # Each tier gather is a row-local take_along_axis with the
+            # batch axis leading, so on a mesh it runs per-shard under
+            # shard_map exactly like the full-width branch below (the
+            # un-shard_mapped form made GSPMD all-gather the logits —
+            # round-4 footgun, now closed for the opt-in path too).
+            use_shard = (mesh is not None and mesh.devices.size > 1
+                         and num_rows % mesh.devices.size == 0)
+
+            def tier_gather(lg, r):
+                return jnp.take_along_axis(lg, r, axis=1)  # [B,w,V]
+
+            if use_shard:
+                from jax.sharding import PartitionSpec
+                axis = mesh.axis_names[0]
+                tier_gather_sharded = jax.shard_map(
+                    tier_gather, mesh=mesh,
+                    in_specs=(PartitionSpec(axis), PartitionSpec(axis)),
+                    out_specs=PartitionSpec(axis))
             parts = []
             for k in range(pf):
                 width = -(-row_t // (k + 1))
                 sl = slice(k * num_rows, (k + 1) * num_rows)
-                tier_logits = jnp.take_along_axis(
-                    logits, rel3[k, :, :width, None], axis=1)  # [B,w,V]
+                rel_k = rel3[k, :, :width, None]
+                tier_logits = (tier_gather_sharded(logits, rel_k)
+                               if use_shard else
+                               tier_gather(logits, rel_k))
                 parts.append(ctc_loss(
                     tier_logits, batch["utt_sequence_length"][sl],
                     batch["nnet_target"][sl], batch["target_length"][sl],
-                    mesh=config.get("mesh")))
+                    mesh=mesh))
             per_seq = jnp.concatenate(parts)
         else:
             rel3 = _row_relative_slots(batch, num_rows, row_t, pf)
@@ -159,7 +216,6 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                     r3.transpose(1, 0, 2)[:, :, :, None], axis=2)
                 return v.reshape(-1, r3.shape[2], lg.shape[-1])
 
-            mesh = config.get("mesh")
             if mesh is not None and mesh.devices.size > 1 \
                     and num_rows % mesh.devices.size == 0:
                 # GSPMD does not recognize the batched gather as
@@ -187,7 +243,7 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                                row_major(batch["utt_sequence_length"]),
                                row_major(batch["nnet_target"]),
                                row_major(batch["target_length"]),
-                               mesh=config.get("mesh"))
+                               mesh=mesh)
     else:
         per_seq = ctc_loss(logits, batch["sequence_length"],
                            batch["nnet_target"], batch["target_length"],

@@ -124,6 +124,7 @@ class LatticeDecoder {
   }
 
   int64_t peak_lat_states() const { return peak_lat_states_; }
+  int64_t nonfinite_scores() const { return nonfinite_scores_; }
 
  private:
   static double LatticeBytes(const Lattice& lat) {
@@ -185,7 +186,20 @@ class LatticeDecoder {
         if (arc.ilabel == 0) continue;
         int col = arc.ilabel - 1;  // token id t scores column t-1
         if (col >= loglikes.cols) continue;
-        float ac = -flags_.acoustic_scale * loglikes(t, col);
+        float ll = loglikes(t, col);
+        if (!std::isfinite(ll)) {
+          // a collapsed/overflowed model emits NaN/inf pseudo-
+          // likelihoods (observed: all-NaN posteriors after a
+          // deliberate lr x10 divergence).  NaN costs break the
+          // strict-weak-ordering std::nth_element requires (UB —
+          // segfaulted) and poison every cutoff comparison; treat the
+          // score as zero evidence so decoding degrades to the graph-
+          // cost-best path and the pipeline still emits a scoreable
+          // (terrible) transcript instead of crashing.
+          ll = 0.0f;
+          ++nonfinite_scores_;
+        }
+        float ac = -flags_.acoustic_scale * ll;
         float cost = tok.cost + arc.weight + ac;
         if (cost >= best + flags_.beam) continue;
         best = std::min(best, cost);
@@ -279,6 +293,7 @@ class LatticeDecoder {
   const Fst& graph_;
   Flags flags_;
   int64_t peak_lat_states_ = 0;
+  int64_t nonfinite_scores_ = 0;
 };
 
 // trim lattice states not reaching a final state
@@ -404,6 +419,12 @@ int main(int argc, char** argv) {
         std::cerr << "latgen-faster: decode failed for " << key << "\n";
         ++failed;
       }
+    }
+    if (decoder.nonfinite_scores() > 0) {
+      std::cerr << "latgen-faster: WARNING sanitized "
+                << decoder.nonfinite_scores()
+                << " non-finite acoustic scores to 0 (collapsed "
+                   "model?) — transcripts are graph-cost-only\n";
     }
     std::cerr << "latgen-faster: decoded " << done << " utterances, "
               << failed << " failed (peak in-progress lattice states "

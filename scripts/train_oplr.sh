@@ -186,7 +186,10 @@ for iter in $(seq "$max_iter"); do
     loss) cv_goal_val=$cv_loss ;;
     eval) cv_goal_val=$cv_eval ;;
   esac
-  rel_impr=$(awk "BEGIN{print(($cv_goal_best - $cv_goal_val) / $cv_goal_best);}")
+  # denominator guarded: a collapsed run can reach cv goal exactly 0,
+  # and awk aborts on 0-division, leaving rel_impr empty (state machine
+  # derails); 0-best means no relative improvement is measurable
+  rel_impr=$(awk "BEGIN{d=($cv_goal_best); if (d == 0) d=1e-20; print(($cv_goal_best - $cv_goal_val) / d);}")
   echo "cv_goal_val = $cv_goal_val cv_goal_best = $cv_goal_best relative improvement = $rel_impr"
 
   if [ 1 == "$(awk "BEGIN{print($cv_goal_val < $cv_goal_best ? 1:0);}")" ]; then

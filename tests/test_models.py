@@ -366,3 +366,45 @@ def test_lstm_bn_training_fused_per_layer_matches_scan(monkeypatch):
                     jax.tree_util.tree_leaves(g_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_lstm_bn_fold_matches_materializing_path(monkeypatch):
+    """LSTM_CTC_TPU_BN_FOLD=1 (train-mode BN folded into the next
+    consumer's input weights, models/lstm._bn_fold_enabled) must match
+    the materializing BN path: logits, running-moment updates, and
+    parameter gradients — with dropout ACTIVE, so the fold path's RNG
+    consumption order is pinned too.  Covers both head types (dense
+    head folds the final affine into w/b; MoE head materializes it)."""
+    for extra in ({}, {"num_experts": 3, "moe_temp": 10.0}):
+        config = dict(WSJ_LIKE_CONFIG, nnet_type="lstm", use_bn=True,
+                      dropout_rate=0.8, **extra)
+        params, state = init_model(jax.random.PRNGKey(0), config)
+        rs = np.random.RandomState(4)
+        x = jnp.asarray(rs.randn(3, 10, 12), jnp.float32)
+        seq = jnp.array([10, 7, 4])
+        rng = jax.random.PRNGKey(5)
+
+        def loss(p, fold):
+            monkeypatch.setenv("LSTM_CTC_TPU_BN_FOLD",
+                               "1" if fold else "0")
+            logits, _, _, new_state = apply_model(
+                p, state, x, seq, config, train=True, dropout_rng=rng)
+            return jnp.sum(logits * logits), (logits, new_state)
+
+        (v_ref, (lg_ref, st_ref)), g_ref = jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True)(params)
+        (v_fold, (lg_fold, st_fold)), g_fold = jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(lg_fold),
+                                   np.asarray(lg_ref),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(st_fold),
+                        jax.tree_util.tree_leaves(st_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_fold),
+                jax.tree_util.tree_leaves_with_path(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4,
+                                       err_msg=str(path))

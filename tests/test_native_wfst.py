@@ -788,3 +788,35 @@ def test_latgen_prune_interval_invariance_and_active_flags(tmp_path):
     peak_bare, _ = decode("bare", "--beam=0.6", "--min-active=1",
                           "--prune-interval=0", "--max-mem=0")
     assert peak_floor > peak_bare, (peak_floor, peak_bare)
+
+
+def test_latgen_survives_nonfinite_posteriors(tmp_path):
+    """A collapsed model (deliberate lr×10 divergence in the parity
+    protocol) emits all-NaN pseudo-likelihoods; latgen-faster must
+    sanitize them to zero evidence and still emit scoreable lattices —
+    NaN costs broke std::nth_element's strict weak ordering (observed
+    segfault, latgen.cc ProcessEmitting)."""
+    lang, units = make_tlg(tmp_path)
+    num_cols = len(units) + 1
+    nan_mat = np.full((40, num_cols), np.nan, np.float32)
+    inf_mat = np.full((40, num_cols), -np.inf, np.float32)
+    post_ark = str(tmp_path / "post_nan.ark")
+    with kaldi.BaseFloatMatrixWriter("ark:" + post_ark) as writer:
+        writer.Write("utt_nan", nan_mat)
+        writer.Write("utt_inf", inf_mat)
+
+    lat_ark = str(tmp_path / "lat_nan.ark")
+    proc = subprocess.run(
+        [os.path.join(FSTBIN, "latgen-faster"),
+         "--acoustic-scale=1.0", "--beam=16.0", "--lattice-beam=8.0",
+         "--allow-partial=true",
+         "--word-symbol-table=%s" % (lang / "words.txt"),
+         str(lang / "TLG.fst"), "ark:" + post_ark, "ark:" + lat_ark],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    assert "sanitized" in proc.stderr
+    assert "decoded 2 utterances, 0 failed" in proc.stderr
+    # the lattices are valid input for the scoring tools
+    tra = run([os.path.join(FSTBIN, "lattice-best-path"),
+               "ark:" + lat_ark, "ark,t:-"])
+    assert "utt_nan" in tra and "utt_inf" in tra

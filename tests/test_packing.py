@@ -25,6 +25,11 @@ CONFIG = {
     "use_peepholes": True,
     "dropout_rate": 1.0,
     "num_experts": 0,
+    # the hand-built packed batches below lay slots out rank-major
+    # exactly like data/pipeline._assemble_packed; declare it so
+    # compute_losses uses the row-batched gather (the undeclared case
+    # is covered by test_undeclared_contract_falls_back_to_flat_gather)
+    "packed_slots_rank_major": True,
 }
 
 UTT_LENS = [7, 5, 9, 3]          # four utterances
@@ -409,3 +414,38 @@ def test_tiered_ctc_gather_matches_full_width():
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        rtol=1e-4, atol=1e-6,
                                        err_msg=str(path))
+
+
+def test_undeclared_contract_falls_back_to_flat_gather():
+    """A producer with a CONFORMING slot count but a different slot→row
+    mapping (utterance-order slots — the layout this file's own tests
+    used before the contract existed) must get the layout-agnostic flat
+    gather, i.e. the exact unpacked loss, unless the config DECLARES
+    the rank-major contract.  Before the gate, such a batch silently
+    got the row-batched gather, whose out-of-row rebased indices clip
+    into the wrong rows (ADVICE r4, train/graph.compute_losses)."""
+    feats, labels = make_utts(seed=8)
+    params, net_state = init_model(jax.random.PRNGKey(3), CONFIG)
+    packed = packed_batch(feats, labels)
+    # permute slots into utterance order: slot j now holds utterance j.
+    # Valid flat indices, but NOT rank-major — e.g. slot 1 holds utt 1,
+    # which lives in row 0, while slot % B says row 1.
+    reorder = np.asarray(SLOT_OF_UTT)
+    shuffled = dict(packed)
+    for key in ("utt_time_index", "utt_sequence_length",
+                "nnet_target", "target_length"):
+        shuffled[key] = packed[key][reorder]
+    undeclared = {k: v for k, v in CONFIG.items()
+                  if k != "packed_slots_rank_major"}
+
+    def eval_loss(batch, config):
+        metrics, _, _ = compute_losses(params, net_state, batch,
+                                       config, train=False)
+        return float(metrics["eval_loss"])
+
+    want = eval_loss(unpacked_batch(feats, labels), undeclared)
+    np.testing.assert_allclose(eval_loss(shuffled, undeclared), want,
+                               rtol=1e-5)
+    # sanity-check the hazard the gate guards: declaring the contract
+    # for this non-conforming layout really does compute a wrong loss
+    assert abs(eval_loss(shuffled, CONFIG) - want) > 1e-3
