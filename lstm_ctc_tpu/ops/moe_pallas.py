@@ -119,13 +119,23 @@ def _segment_matrices(ep: int, eb: int, v: int):
 def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 tau: float, keep_prob: float, compute_dtype_name: str,
                 n_block: int, interpret: bool,
-                wgrad_mode: str = "xla"):
+                wgrad_mode: str = "xla", w_resident: bool = False):
     """Builds the custom-VJP fused mix for one static configuration.
 
     Operates on PADDED arrays: x [Np, D] (Np % n_block == 0), w [D, Ep·V],
     b [1, Ep·V], gate [Np, Ep] (Ep % Eb == 0), seed [1] int32.  Padding /
     unpadding lives outside the VJP boundary so its adjoints come free.
-    """
+
+    ``w_resident``: keep the full [D, Ep·V] expert weights (and the R
+    gate-repeat constant) VMEM-RESIDENT via constant index maps instead
+    of streaming a [D, Cb] column block per grid step.  With the
+    default n-outer grid every row block re-fetches the ENTIRE weight
+    matrix (flagship: ~6.6 MB bf16 × 48 row blocks ≈ 0.3 GB per
+    direction, fwd + bwd ≈ 0.8 ms of pure HBM at v5e bandwidth) — the
+    bulk of the MoE head's measured gap above its analytic floor.
+    Kernels then slice their expert block with a dynamic pl.ds.
+    Gated on the weight bytes fitting comfortably in VMEM
+    (moe_mix_fused)."""
     d = input_dim
     v = num_targets
     ep = num_experts_padded
@@ -136,6 +146,15 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
     dropout = keep_prob < 1.0
     inv_kp = 1.0 / keep_prob
 
+    if w_resident:
+        def _wblk(w_ref, eblk):
+            return w_ref[:, pl.ds(eblk * cb, cb)]
+        _rblk = _wblk
+    else:
+        def _wblk(w_ref, eblk):
+            return w_ref[:]
+        _rblk = _wblk
+
     def _mask(seed, nblk, eblk):
         u = hash_uniform(seed[0], nblk * n_block, eblk * cb, n_block, cb)
         return (u < keep_prob).astype(jnp.float32) * inv_kp
@@ -143,7 +162,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
     def _expert_tile(x_ref, w_ref, b_ref, seed_ref, nblk, eblk):
         """a' [Nb, Cb] = dropped tau*tanh(x @ W_blk + b_blk), plus th."""
         z = jax.lax.dot_general(
-            x_ref[:].astype(cdt), w_ref[:],
+            x_ref[:].astype(cdt), _wblk(w_ref, eblk),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b_ref[:]
         th = jnp.tanh(z)
@@ -167,7 +186,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             # expert-matmul recompute (bf16 HBM round-trip ≪ matmul)
             th_ref[:] = th.astype(th_ref.dtype)
         grep = jax.lax.dot_general(          # [Nb, Ep] @ [Ep, Cb] R-block
-            gate_ref[:].astype(cdt), r_ref[:],
+            gate_ref[:].astype(cdt), _rblk(r_ref, eblk),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out_ref[:] += jax.lax.dot_general(   # fold segments → classes
@@ -200,7 +219,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         grep = jax.lax.dot_general(
-            gate_ref[:].astype(cdt), r_ref[:],
+            gate_ref[:].astype(cdt), _rblk(r_ref, eblk),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dz = grep * q * (tau * (1.0 - th * th))
@@ -225,11 +244,11 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
         # dgate[n, e] += sum_{c in segment e} q * a'  (the R block zeroes
         # every expert outside this e-block, so += lands only there)
         dgate_ref[:] += jax.lax.dot_general(
-            (q * a).astype(cdt), r_ref[:],
+            (q * a).astype(cdt), _rblk(r_ref, eblk),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dx_ref[:] += jax.lax.dot_general(    # [Nb, Cb] @ [D, Cb]^T
-            dz.astype(cdt), w_ref[:],
+            dz.astype(cdt), _wblk(w_ref, eblk),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dz
@@ -302,6 +321,25 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
     r_mat = r_mat.astype(cdt)          # numpy cast (ml_dtypes bfloat16)
     s_mat = s_mat.astype(cdt)
 
+    def _w_spec(stream_map):
+        if w_resident:
+            return pl.BlockSpec((d, cp), lambda *g: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((d, cb), stream_map,
+                            memory_space=pltpu.VMEM)
+
+    def _r_spec(stream_map):
+        if w_resident:
+            return pl.BlockSpec((ep, cp), lambda *g: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((ep, cb), stream_map,
+                            memory_space=pltpu.VMEM)
+
+    # resident w (bf16) + R + generous stream double-buffers; the
+    # streamed layout keeps the (smaller) defaults
+    _res_params = pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024) if w_resident else None
+
     def _pallas_fwd(x, w, b, gate, seed, with_residuals):
         np_ = x.shape[0]
         grid = (np_ // n_block, ep // eb)
@@ -321,18 +359,17 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_block, d), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _w_spec(lambda n, e: (0, e)),
                 pl.BlockSpec((1, cb), lambda n, e: (0, e),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _r_spec(lambda n, e: (0, e)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs,
             out_shape=out_shape,
+            compiler_params=_res_params,
             interpret=interpret,
         )(seed, x, w, b, gate, r_mat, s_mat)
 
@@ -346,14 +383,12 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _w_spec(lambda n, e: (0, e)),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _r_spec(lambda n, e: (0, e)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -384,14 +419,12 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _w_spec(lambda n, e: (0, e)),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _r_spec(lambda n, e: (0, e)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -429,14 +462,12 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_block, cb), lambda n, e: (n, e),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _w_spec(lambda n, e: (0, e)),
                 pl.BlockSpec((n_block, ep), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, v), lambda n, e: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ep, cb), lambda n, e: (0, e),
-                             memory_space=pltpu.VMEM),
+                _r_spec(lambda n, e: (0, e)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -471,8 +502,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_block, v), lambda e, n: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ep, cb), lambda e, n: (0, e),
-                             memory_space=pltpu.VMEM),
+                _r_spec(lambda e, n: (0, e)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -555,6 +585,14 @@ def moe_mix_fused(x: jnp.ndarray,
     eb = expert_block_size(v)
     ep = -(-num_experts // eb) * eb
     np_rows = -(-n // n_block) * n_block
+    # VMEM-resident expert weights (LSTM_CTC_TPU_MOE_WRES, see
+    # _make_fused): eliminates the per-row-block re-stream of the full
+    # [D, Ep·V] weights.  Auto-gated on the resident bytes (w in
+    # compute dtype + the R constant) fitting well under the VMEM
+    # budget alongside the streamed blocks.
+    res_bytes = (d + ep) * ep * v * jnp.dtype(compute_dtype).itemsize
+    w_resident = (os.environ.get("LSTM_CTC_TPU_MOE_WRES", "0") == "1"
+                  and res_bytes <= 32 * 1024 * 1024)
 
     w = w_expert.reshape(d, num_experts, v)
     w = jnp.pad(w, ((0, 0), (0, ep - num_experts), (0, 0)))
@@ -572,7 +610,7 @@ def moe_mix_fused(x: jnp.ndarray,
 
     fused = _make_fused(d, v, ep, float(moe_temperature), float(keep_prob),
                         jnp.dtype(compute_dtype).name, n_block,
-                        bool(interpret), wgrad_mode)
+                        bool(interpret), wgrad_mode, w_resident)
     out = fused(x_p, w, b, gate_p, seed)
     return out[:n]
 

@@ -254,3 +254,45 @@ def test_fused_grads_wgrad_twokernel_with_dropout(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
             err_msg="grad mismatch for %s" % name)
+
+
+def test_fused_w_resident_matches_streamed(monkeypatch):
+    """LSTM_CTC_TPU_MOE_WRES=1 (VMEM-resident expert weights + R
+    constant, sliced per expert block with a dynamic pl.ds) must be
+    numerically identical to the streamed-block layout — values and all
+    four gradients, with and without expert dropout, across wgrad
+    modes."""
+    rs = np.random.RandomState(11)
+    n, d, e, v = 48, 16, 5, 12
+    x = jnp.asarray(rs.randn(n, d), jnp.float32)
+    w = jnp.asarray(rs.randn(d, e * v) * 0.3, jnp.float32)
+    b = jnp.asarray(rs.randn(e * v) * 0.1, jnp.float32)
+    gate = jax.nn.softmax(jnp.asarray(rs.randn(n, e), jnp.float32))
+    cot = jnp.asarray(rs.randn(n, v), jnp.float32)
+
+    def loss(*o, **kw):
+        return jnp.sum(moe_mix_fused(*o, e, 10.0,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True, **kw) * cot)
+
+    for kw in ({}, {"keep_prob": 0.7, "seed": jnp.asarray([9])}):
+        for wgrad in ("xla", "twokernel", "kernel"):
+            monkeypatch.setenv("LSTM_CTC_TPU_MOE_WGRAD", wgrad)
+            monkeypatch.delenv("LSTM_CTC_TPU_MOE_WRES", raising=False)
+            want_v = moe_mix_fused(x, w, b, gate, e, 10.0,
+                                   compute_dtype=jnp.float32,
+                                   interpret=True, **kw)
+            want_g = jax.grad(lambda *o: loss(*o, **kw),
+                              argnums=(0, 1, 2, 3))(x, w, b, gate)
+            monkeypatch.setenv("LSTM_CTC_TPU_MOE_WRES", "1")
+            got_v = moe_mix_fused(x, w, b, gate, e, 10.0,
+                                  compute_dtype=jnp.float32,
+                                  interpret=True, **kw)
+            got_g = jax.grad(lambda *o: loss(*o, **kw),
+                             argnums=(0, 1, 2, 3))(x, w, b, gate)
+            np.testing.assert_allclose(np.asarray(got_v),
+                                       np.asarray(want_v),
+                                       rtol=1e-6, atol=1e-6)
+            for a, bb in zip(got_g, want_g):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                           rtol=1e-6, atol=1e-6)
