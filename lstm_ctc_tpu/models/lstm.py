@@ -197,9 +197,12 @@ def _bn_fold_enabled() -> bool:
     tiny [D, 4H] weight rescale.  Residual adds recreate x̂ as an
     elementwise op XLA fuses into the add.  Semantically identical to
     the materializing path (same stats, same running-moment updates);
-    gradient/logit parity pinned by tests/test_models.py."""
+    gradient/logit parity pinned by tests/test_models.py.  SHIPPED
+    DEFAULT ON (on-chip A/B won both interleaved reps, +1.9% best-of
+    on lstm_bn flagship shapes — docs/BENCHMARKS.md round 5); set the
+    env to 0 for the materializing path."""
     import os
-    return os.environ.get("LSTM_CTC_TPU_BN_FOLD", "0") == "1"
+    return os.environ.get("LSTM_CTC_TPU_BN_FOLD", "1") == "1"
 
 
 def _bn_train_affine(bn_params: Dict, bn_state: Dict, x: jnp.ndarray):
@@ -291,7 +294,10 @@ def apply_lstm(params: Dict,
     keep_prob = float(config.get("dropout_rate", 1.0)) if train else 1.0
     x = nnet_input
     new_state = {"bn": list(state.get("bn", []))}
-    if dims["use_bn"]:
+    bn_fold = dims["use_bn"] and train and _bn_fold_enabled()
+    if dims["use_bn"] and not bn_fold:
+        # (the fold branch below applies bn_in as an affine folded into
+        # layer 0's input kernel instead of materializing it here)
         x, new_state["bn_in"] = _apply_bn(
             params["bn_in"], state["bn_in"], x, train)
     res_flags = [not (i == 0 and dims["input_dim"] != dims["output_dim"])
@@ -322,7 +328,7 @@ def apply_lstm(params: Dict,
     head_affine = None
     if stacked is not None:
         x = stacked
-    elif dims["use_bn"] and train and _bn_fold_enabled():
+    elif bn_fold:
         # fold each BN's train-mode affine into the next layer's input
         # kernel (and the input BN into layer 0) — no normalized
         # [B, T, C] tensor is ever materialized between layers.  RNG

@@ -47,18 +47,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_BLOCK = 256          # rows per grid step
+N_BLOCK = 256          # rows per grid step (small inputs)
+N_BLOCK_BIG = 512      # rows per grid step once the row count amortizes
+                       # it (fewer revisits of the weight stream; the
+                       # on-chip A/B measured 512 ≥ 256 at flagship
+                       # shapes and 512 composes with WRES for the best
+                       # point — docs/BENCHMARKS.md round 5)
 
 
-def _env_n_block() -> int:
-    """Row-block override (LSTM_CTC_TPU_MOE_NBLOCK, default N_BLOCK) —
-    the A/B lever for the expert-tile grid (scripts/ab_train_step.py).
-    Must keep Np % n_block == 0 reachable via padding, so any positive
-    multiple of 8 is legal."""
+def _env_n_block(n_rows: int) -> int:
+    """Row-block size: LSTM_CTC_TPU_MOE_NBLOCK overrides; otherwise
+    N_BLOCK_BIG when the input has enough rows to fill several blocks
+    (padding waste stays nil), N_BLOCK for small inputs (batch-1
+    streaming / tiny tests, where a big block would round tiny row
+    counts up).  The env knob is the A/B lever for
+    scripts/ab_train_step.py.  Must keep Np % n_block == 0 reachable
+    via padding, so any positive multiple of 8 is legal."""
     import os
     env = os.environ.get("LSTM_CTC_TPU_MOE_NBLOCK", "")
     if not env:
-        return N_BLOCK
+        return N_BLOCK_BIG if n_rows >= 4 * N_BLOCK_BIG else N_BLOCK
     # floor to a multiple of 8 — a non-8-aligned row block fails Mosaic
     # lowering at runtime (e.g. NBLOCK=100 → 96)
     return max(8, int(env) // 8 * 8)
@@ -578,20 +586,23 @@ def moe_mix_fused(x: jnp.ndarray,
     wgrad_mode = os.environ.get("LSTM_CTC_TPU_MOE_WGRAD", "xla") or "xla"
     if wgrad_mode not in ("xla", "kernel", "twokernel"):
         wgrad_mode = "xla"
-    if n_block is None:
-        n_block = _env_n_block()
     n, d = x.shape
+    if n_block is None:
+        n_block = _env_n_block(n)
     v = w_expert.shape[1] // num_experts
     eb = expert_block_size(v)
     ep = -(-num_experts // eb) * eb
     np_rows = -(-n // n_block) * n_block
     # VMEM-resident expert weights (LSTM_CTC_TPU_MOE_WRES, see
     # _make_fused): eliminates the per-row-block re-stream of the full
-    # [D, Ep·V] weights.  Auto-gated on the resident bytes (w in
+    # [D, Ep·V] weights.  SHIPPED DEFAULT ON since the on-chip A/B
+    # (wres + n_block 512 wins every interleaved rep at flagship
+    # shapes, docs/BENCHMARKS.md round 5); set the env to 0 for the
+    # streamed-block layout.  Auto-gated on the resident bytes (w in
     # compute dtype + the R constant) fitting well under the VMEM
     # budget alongside the streamed blocks.
     res_bytes = (d + ep) * ep * v * jnp.dtype(compute_dtype).itemsize
-    w_resident = (os.environ.get("LSTM_CTC_TPU_MOE_WRES", "0") == "1"
+    w_resident = (os.environ.get("LSTM_CTC_TPU_MOE_WRES", "1") == "1"
                   and res_bytes <= 32 * 1024 * 1024)
 
     w = w_expert.reshape(d, num_experts, v)

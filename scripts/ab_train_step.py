@@ -38,6 +38,7 @@ config = dict(FLAGSHIP_CONFIG, dropout_rate=1.0)
 if %(tiny)d:
     config.update(num_layers=2, num_neurons=16, num_projects=16,
                   num_experts=4)
+config.update(json.loads(%(config_json)r) or {})
 fps = bench_unpacked(config, %(batch)d, %(time_steps)d, jax)
 print(json.dumps({"frames_per_sec": round(fps, 1)}))
 """
@@ -54,6 +55,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (harness smoke test)")
+    ap.add_argument("--config", default="{}",
+                    help="JSON dict merged over FLAGSHIP_CONFIG (e.g. "
+                         "'{\"nnet_type\": \"lstm\", \"use_bn\": true}' "
+                         "to A/B the lstm+bn family)")
     args = ap.parse_args()
 
     variants = []
@@ -66,9 +71,11 @@ def main():
                 env_pairs[k] = v
         variants.append((name, env_pairs))
 
+    json.loads(args.config)   # fail fast on malformed overrides
     payload = PAYLOAD % {"repo": REPO, "batch": args.batch,
                          "time_steps": args.time_steps,
-                         "steps": args.steps, "tiny": int(args.tiny)}
+                         "steps": args.steps, "tiny": int(args.tiny),
+                         "config_json": args.config}
     results = {name: [] for name, _ in variants}
     for rep in range(args.repeats):
         for name, env_pairs in variants:
