@@ -96,6 +96,10 @@ def main(args):
     cv_config = dict(config)
     cv_batcher = build_batcher(args.cv_tfrecords_scp, cv_config,
                                args.batch_size)
+    if args.pack_factor > 1:
+        # declared AFTER the cv copy: only the training batcher packs,
+        # and it follows (and asserts) the rank-major slot contract
+        config["packed_slots_rank_major"] = True
     shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh
     cv_config["mesh"] = mesh

@@ -44,6 +44,12 @@ def main(args):
 
     batcher = build_batcher(args.tfrecords_scp, config, args.batch_size,
                             pack_factor=args.pack_factor)
+    if args.pack_factor > 1:
+        # this process's packed batches all come from the batcher above,
+        # which follows (and asserts) the rank-major slot contract —
+        # declare it so the CTC gather can run row-batched under
+        # shard_map on a mesh (train/graph.compute_losses)
+        config["packed_slots_rank_major"] = True
     shard_fn, mesh = make_shard_fn()
     config["mesh"] = mesh  # lets the model pick sharded Pallas kernels
     init_opt, train_step = make_train_step(

@@ -61,14 +61,17 @@ def build_batcher(records_scp: str, config: Dict, batch_size: int,
     label_lengths = None
     if need_labels and metas and metas[0].has_label:
         label_lengths = scan_label_lengths(metas)
-    # packed batches lay slots out rank-major (longest-first per row);
-    # the opt-in tiered CTC gather is resolved where the gather is built
-    # (train/graph.ctc_tiered_enabled), not here.  DECLARE the contract
-    # so train/graph.compute_losses may use the row-batched sharded
-    # gather (undeclared packed batches get the layout-agnostic flat
-    # gather, which a mesh cannot partition).
-    if pack_factor and pack_factor > 1:
-        config["packed_slots_rank_major"] = True
+    # Packed batches lay slots out rank-major (longest-first per row);
+    # the batcher asserts that invariant at assembly time.  The contract
+    # is DECLARED by the code that owns the config↔producer pairing
+    # (bin/nnet-train.py, bin/nnet-train-loop.py set
+    # config["packed_slots_rank_major"]=True next to their batcher) so
+    # train/graph.compute_losses may use the row-batched sharded gather
+    # — deliberately NOT declared here: this helper must not mutate a
+    # shared config that may later also see packed batches from an
+    # arbitrary-layout producer (which need the layout-agnostic flat
+    # gather).  The opt-in tiered CTC gather is likewise resolved where
+    # the gather is built (train/graph.ctc_tiered_enabled), not here.
     return BucketedBatcher(
         metas,
         batch_size=batch_size,

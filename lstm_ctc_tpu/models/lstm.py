@@ -186,9 +186,10 @@ def _init_bn_state(dim: int) -> Dict:
 
 
 def _bn_fold_enabled() -> bool:
-    """Opt-in (LSTM_CTC_TPU_BN_FOLD=1): apply train-mode BN by folding
-    its per-channel affine into the NEXT consumer's input weights
-    instead of materializing the normalized [B, T, C] tensor.
+    """Default-ON (opt out with LSTM_CTC_TPU_BN_FOLD=0): apply
+    train-mode BN by folding its per-channel affine into the NEXT
+    consumer's input weights instead of materializing the normalized
+    [B, T, C] tensor.
 
     BN with batch stats is x̂ = a·x + b (a = scale·rsqrt(var+eps),
     b = offset − mean·a), and a matmul consumer absorbs it exactly:
@@ -235,18 +236,14 @@ def _fold_affine_into_cell(cell: Dict, a: jnp.ndarray,
 
 def _apply_bn(bn_params: Dict, bn_state: Dict, x: jnp.ndarray, train: bool):
     if train:
-        axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
-        new_state = {
-            "mean": BN_MOMENTUM * bn_state["mean"] + (1 - BN_MOMENTUM) * mean,
-            "var": BN_MOMENTUM * bn_state["var"] + (1 - BN_MOMENTUM) * var,
-        }
-    else:
-        mean, var = bn_state["mean"], bn_state["var"]
-        new_state = bn_state
+        # single source of truth for train-mode stats/moments: the
+        # materializing path is exactly the fold path's affine, applied
+        (a, b), new_state = _bn_train_affine(bn_params, bn_state, x)
+        return a * x + b, new_state
+    mean, var = bn_state["mean"], bn_state["var"]
     inv = jax.lax.rsqrt(var + BN_EPS)
-    return (x - mean) * inv * bn_params["scale"] + bn_params["offset"], new_state
+    return ((x - mean) * inv * bn_params["scale"] + bn_params["offset"],
+            bn_state)
 
 
 def init_lstm(rng, config: Dict) -> Tuple[Dict, Dict]:

@@ -58,15 +58,22 @@ N_BLOCK_BIG = 512      # rows per grid step once the row count amortizes
 def _env_n_block(n_rows: int) -> int:
     """Row-block size: LSTM_CTC_TPU_MOE_NBLOCK overrides; otherwise
     N_BLOCK_BIG when the input has enough rows to fill several blocks
-    (padding waste stays nil), N_BLOCK for small inputs (batch-1
-    streaming / tiny tests, where a big block would round tiny row
-    counts up).  The env knob is the A/B lever for
-    scripts/ab_train_step.py.  Must keep Np % n_block == 0 reachable
-    via padding, so any positive multiple of 8 is legal."""
+    AND rounding up to the bigger block adds no meaningful padding
+    rows over the N_BLOCK default (≤ ~3% of the input); N_BLOCK
+    otherwise (small inputs — batch-1 streaming / tiny tests — and
+    mid-size row counts that sit awkwardly between 512 multiples,
+    where the big block would burn up to 256 extra padding rows).
+    The env knob is the A/B lever for scripts/ab_train_step.py.
+    Must keep Np % n_block == 0 reachable via padding, so any
+    positive multiple of 8 is legal."""
     import os
     env = os.environ.get("LSTM_CTC_TPU_MOE_NBLOCK", "")
     if not env:
-        return N_BLOCK_BIG if n_rows >= 4 * N_BLOCK_BIG else N_BLOCK
+        if n_rows >= 4 * N_BLOCK_BIG:
+            extra_pad = (-n_rows % N_BLOCK_BIG) - (-n_rows % N_BLOCK)
+            if extra_pad <= n_rows // 32:
+                return N_BLOCK_BIG
+        return N_BLOCK
     # floor to a multiple of 8 — a non-8-aligned row block fails Mosaic
     # lowering at runtime (e.g. NBLOCK=100 → 96)
     return max(8, int(env) // 8 * 8)
@@ -412,6 +419,9 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 jax.ShapeDtypeStruct((np_, ep), jnp.float32),
                 jax.ShapeDtypeStruct((np_, cp), cdt),
             ],
+            # the backward holds the same resident w + R as the forward
+            # (plus its own streams), so it needs the same raised budget
+            compiler_params=_res_params,
             interpret=interpret,
         )(seed, th, w, gate, gout, r_mat, s_mat)
 
@@ -455,8 +465,10 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
             ],
             compiler_params=pltpu.CompilerParams(
                 # the resident [D, Ep·V] f32 dw buffer (~15 MB flagship)
-                # plus double-buffered streams exceed the 16 MB default
-                vmem_limit_bytes=80 * 1024 * 1024),
+                # plus double-buffered streams exceed the 16 MB default;
+                # +32 MB headroom when w/R are also VMEM-resident
+                vmem_limit_bytes=(112 if w_resident else 80)
+                * 1024 * 1024),
             interpret=interpret,
         )(seed, x, th, w, gate, gout, r_mat, s_mat)
 
@@ -488,6 +500,7 @@ def _make_fused(input_dim: int, num_targets: int, num_experts_padded: int,
                 jax.ShapeDtypeStruct((np_, d), jnp.float32),
                 jax.ShapeDtypeStruct((np_, ep), jnp.float32),
             ],
+            compiler_params=_res_params,   # resident w + R, as in fwd
             interpret=interpret,
         )(seed, th, w, gate, gout, r_mat, s_mat)
 

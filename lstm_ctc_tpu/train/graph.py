@@ -36,10 +36,11 @@ from ..models import apply_model
 from ..ops import ctc_loss
 
 _warned_flat_packed_gather = False
+_warned_tiered_unsharded = False
 
 
 def _warn_flat_packed_gather(n_slots: int, num_rows: int,
-                             reason: str) -> None:
+                             reason: str, remedy: str) -> None:
     """One-time trace-time notice when a packed batch on a multi-device
     mesh takes the layout-agnostic flat gather: correct, but GSPMD
     replicates the [B,T,V] logits to serve arbitrary [B·T] indices —
@@ -52,10 +53,25 @@ def _warn_flat_packed_gather(n_slots: int, num_rows: int,
             "packed CTC view: %s (%d slots over %d rows), so the "
             "layout-agnostic flat gather is used — on this multi-device "
             "mesh GSPMD will all-gather the [B,T,V] logits for it. "
-            "Batches from data/pipeline.BucketedBatcher follow the "
-            "rank-major slot contract; declare it with "
-            "config['packed_slots_rank_major']=True to get the "
-            "row-batched sharded gather." % (reason, n_slots, num_rows),
+            "%s" % (reason, n_slots, num_rows, remedy),
+            stacklevel=4)
+
+
+def _warn_tiered_unsharded(num_rows: int, n_devices: int) -> None:
+    """One-time trace-time notice when the opt-in tiered gather cannot
+    run under shard_map (per-shard row count not integral) and so rides
+    GSPMD un-shard_mapped — the same logits-replication pathology the
+    flat-gather warning above flags."""
+    global _warned_tiered_unsharded
+    if not _warned_tiered_unsharded:
+        _warned_tiered_unsharded = True
+        warnings.warn(
+            "tiered packed CTC gather: %d rows do not divide the %d-"
+            "device mesh, so the tier gathers run un-shard_mapped and "
+            "GSPMD will all-gather the [B,T,V] logits for them. Use a "
+            "batch divisible by the mesh (or unset "
+            "LSTM_CTC_TPU_CTC_TIERED / ctc_tiered_slots to take the "
+            "row-batched full-width gather)." % (num_rows, n_devices),
             stacklevel=4)
 
 
@@ -134,8 +150,9 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
         # data/pipeline.Batch docstring).  The contract cannot be
         # checked on traced index values, so it is DECLARED: producers
         # that follow it set config["packed_slots_rank_major"]=True
-        # (cli.build_batcher does for its BucketedBatcher; the batcher
-        # itself asserts the invariant at assembly time).  Undeclared
+        # (bin/nnet-train.py and bin/nnet-train-loop.py do next to their
+        # BucketedBatcher, which asserts the invariant at assembly
+        # time).  Undeclared
         # batches — an external producer with an arbitrary slot→row
         # mapping, e.g. utterance-order slots — get the layout-agnostic
         # flat gather, which is correct for any valid utt_time_index
@@ -144,11 +161,23 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
                       and pf >= 1 and n_slots == pf * num_rows)
         if not rank_major:
             if mesh is not None and mesh.devices.size > 1:
-                reason = ("slot count off the rank-major contract"
-                          if n_slots != max(pf, 1) * num_rows
-                          else "batch does not declare the rank-major "
-                               "slot contract")
-                _warn_flat_packed_gather(n_slots, num_rows, reason)
+                if n_slots != max(pf, 1) * num_rows:
+                    # declaring the flag would change nothing here —
+                    # the slot count itself breaks the contract
+                    reason = "slot count off the rank-major contract"
+                    remedy = ("Emit pf*num_rows slots (dummy-padded) "
+                              "in rank-major order to use the "
+                              "row-batched sharded gather.")
+                else:
+                    reason = ("batch does not declare the rank-major "
+                              "slot contract")
+                    remedy = ("Batches from data/pipeline."
+                              "BucketedBatcher follow the rank-major "
+                              "slot contract; declare it with "
+                              "config['packed_slots_rank_major']=True "
+                              "to get the row-batched sharded gather.")
+                _warn_flat_packed_gather(n_slots, num_rows, reason,
+                                         remedy)
             flat = logits.reshape(num_rows * row_t, vocab)
             per_seq = ctc_loss(flat[batch["utt_time_index"]],
                                batch["utt_sequence_length"],
@@ -179,6 +208,9 @@ def compute_losses(params, net_state, batch: Dict, config: Dict,
             # round-4 footgun, now closed for the opt-in path too).
             use_shard = (mesh is not None and mesh.devices.size > 1
                          and num_rows % mesh.devices.size == 0)
+            if (mesh is not None and mesh.devices.size > 1
+                    and not use_shard):
+                _warn_tiered_unsharded(num_rows, mesh.devices.size)
 
             def tier_gather(lg, r):
                 return jnp.take_along_axis(lg, r, axis=1)  # [B,w,V]

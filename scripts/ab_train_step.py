@@ -39,8 +39,14 @@ if %(tiny)d:
     config.update(num_layers=2, num_neurons=16, num_projects=16,
                   num_experts=4)
 config.update(json.loads(%(config_json)r) or {})
-fps = bench_unpacked(config, %(batch)d, %(time_steps)d, jax)
-print(json.dumps({"frames_per_sec": round(fps, 1)}))
+if %(packed)d:
+    from bench import bench_packed
+    fps, fill = bench_packed(config, %(batch)d, %(packed)d, jax)
+    print(json.dumps({"frames_per_sec": round(fps, 1),
+                      "fill": round(fill, 4)}))
+else:
+    fps = bench_unpacked(config, %(batch)d, %(time_steps)d, jax)
+    print(json.dumps({"frames_per_sec": round(fps, 1)}))
 """
 
 
@@ -55,6 +61,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model dims (harness smoke test)")
+    ap.add_argument("--packed", type=int, default=0, metavar="PF",
+                    help="time the packed row (bench_packed, REAL "
+                         "frames/s) at this pack factor instead of the "
+                         "unpacked flagship row")
     ap.add_argument("--config", default="{}",
                     help="JSON dict merged over FLAGSHIP_CONFIG (e.g. "
                          "'{\"nnet_type\": \"lstm\", \"use_bn\": true}' "
@@ -71,10 +81,13 @@ def main():
                 env_pairs[k] = v
         variants.append((name, env_pairs))
 
-    json.loads(args.config)   # fail fast on malformed overrides
+    # fail fast on malformed overrides (before burning chip reps)
+    if not isinstance(json.loads(args.config), dict):
+        ap.error("--config must be a JSON object")
     payload = PAYLOAD % {"repo": REPO, "batch": args.batch,
                          "time_steps": args.time_steps,
                          "steps": args.steps, "tiny": int(args.tiny),
+                         "packed": args.packed,
                          "config_json": args.config}
     results = {name: [] for name, _ in variants}
     for rep in range(args.repeats):
@@ -96,11 +109,10 @@ def main():
                 print(json.dumps({"variant": name, "rep": rep,
                                   "error": r.stderr[-500:]}), flush=True)
                 continue
-            fps = json.loads(r.stdout.strip().splitlines()[-1])[
-                "frames_per_sec"]
-            results[name].append(fps)
-            print(json.dumps({"variant": name, "rep": rep,
-                              "frames_per_sec": fps}), flush=True)
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            results[name].append(row["frames_per_sec"])
+            print(json.dumps(dict({"variant": name, "rep": rep},
+                                  **row)), flush=True)
 
     summary = {}
     for name, vals in results.items():

@@ -447,7 +447,34 @@ def test_undeclared_packed_contract_warns_on_mesh(monkeypatch):
                                    train=False)
     np.testing.assert_allclose(float(got["eval_loss"]),
                                float(declared["eval_loss"]), rtol=1e-5)
-    # one-time: a second trace stays silent
+    # one-time: a second trace stays silent (filter ONLY the gather
+    # warning — an unrelated dependency warning must not fail this)
     with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
+        _warnings.filterwarnings("error", message=".*rank-major.*",
+                                 category=UserWarning)
         compute_losses(params, net_state, batch, undeclared, train=False)
+
+
+def test_tiered_gather_warns_when_mesh_indivisible(monkeypatch):
+    """The opt-in tiered gather silently rode GSPMD (re-introducing the
+    logits all-gather) when the rows did not divide the mesh; it must
+    now say so once at trace time — correctness is unchanged."""
+    import lstm_ctc_tpu.train.graph as graph_mod
+    from __graft_entry__ import _packed_batch
+    from lstm_ctc_tpu.train.graph import compute_losses
+
+    monkeypatch.setattr(graph_mod, "_warned_tiered_unsharded", False)
+    mesh = _mesh()
+    config = _tiny_config()
+    batch = _packed_batch(config, num_rows=N_DEV + 1, pack_factor=2)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, net_state = init_model(jax.random.PRNGKey(3), config)
+    tiered = dict(config, mesh=mesh, ctc_tiered_slots=True)
+    with pytest.warns(UserWarning, match="un-shard_mapped"):
+        got, _, _ = compute_losses(params, net_state, batch, tiered,
+                                   train=False)
+    want, _, _ = compute_losses(params, net_state, batch,
+                                dict(config, ctc_tiered_slots=True),
+                                train=False)
+    np.testing.assert_allclose(float(got["eval_loss"]),
+                               float(want["eval_loss"]), rtol=1e-5)
