@@ -30,10 +30,16 @@ PAYLOAD = r"""
 import json, sys
 sys.path.insert(0, %(repo)r)
 import jax
+import lstm_ctc_tpu.cli  # JAX_PLATFORMS claw-back (the host site plugin
+                         # force-registers the TPU platform, so the env
+                         # var alone does not stick) — lets a variant or
+                         # CI set JAX_PLATFORMS=cpu and actually get CPU
 import bench
 from bench import bench_unpacked
 from __graft_entry__ import FLAGSHIP_CONFIG
-bench.STEPS_BIG, bench.STEPS_SMALL = %(steps)d, max(2, %(steps)d // 10)
+# small window < big window always (steps=2..4 smoke tiers included)
+bench.STEPS_BIG = %(steps)d
+bench.STEPS_SMALL = max(1, min(%(steps)d // 10, %(steps)d - 1))
 config = dict(FLAGSHIP_CONFIG, dropout_rate=1.0)
 if %(tiny)d:
     config.update(num_layers=2, num_neurons=16, num_projects=16,

@@ -8,8 +8,6 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AB = os.path.join(REPO, "scripts", "ab_train_step.py")
 
@@ -22,9 +20,11 @@ def _run(extra_args):
     r = subprocess.run(
         [sys.executable, AB,
          "a=", "b=LSTM_CTC_TPU_MOE_NBLOCK=128",
-         "--tiny", "--repeats", "1", "--steps", "4",
+         "--tiny", "--repeats", "1", "--steps", "2",
          "--batch", "4", "--time-steps", "32"] + extra_args,
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+        # generous: the dominant cost is 2 jax imports + traces, which
+        # stretch badly when the box is busy (e.g. parity lanes in CI)
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     lines = [json.loads(l) for l in r.stdout.strip().splitlines()]
     per_run = [l for l in lines if "variant" in l]
@@ -33,7 +33,6 @@ def _run(extra_args):
     return per_run, summary
 
 
-@pytest.mark.slow
 def test_ab_harness_unpacked_smoke():
     per_run, summary = _run([])
     assert {l["variant"] for l in per_run} == {"a", "b"}
@@ -42,7 +41,6 @@ def test_ab_harness_unpacked_smoke():
     assert "vs_a" in summary["b"]
 
 
-@pytest.mark.slow
 def test_ab_harness_packed_mode():
     per_run, summary = _run(["--packed", "2"])
     assert all(l["frames_per_sec"] > 0 for l in per_run)
